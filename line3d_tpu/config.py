@@ -1,0 +1,82 @@
+"""Configuration and default parameters for the line3d_tpu framework.
+
+Mirrors the reference's compile-time defaults (reference: commons.h:42-66 and
+cudawrapper.h:35-46) so that a user of the reference finds the same knobs with
+the same semantics, exposed as a single dataclass instead of scattered macros.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class L3DConfig:
+    """All tunables of the pipeline.
+
+    Every field cites the reference symbol it corresponds to.
+    """
+
+    # --- feature detection (commons.h:42-45) ---
+    max_image_width: int = 1920          # L3D_DEF_MAX_IMG_WIDTH
+    min_line_length_factor: float = 0.005  # L3D_DEF_MIN_LINE_LENGTH_F (x image diagonal)
+    max_num_segments: int = 3000         # L3D_DEF_MAX_NUM_SEGMENTS
+    load_and_store_segments: bool = True  # L3D_DEF_LOAD_AND_STORE_SEGMENTS
+
+    # --- collinearity (commons.h:48-49) ---
+    collinearity_sigma: float = 2.0      # L3D_DEF_COLLINEARITY_S
+    use_collinearity: bool = True        # L3D_DEF_COLLINEARITY_FOR_CLUSTERING
+    collinearity_aff_threshold: float = 0.50  # L3D_COLLIN_AFF_T_G (cudawrapper.h:44)
+
+    # --- matching (commons.h:52-58, cudawrapper.h:45-46) ---
+    matching_neighbors: int = 10         # L3D_DEF_MATCHING_NEIGHBORS
+    uncertainty_upper_px: float = 5.0    # L3D_DEF_UNCERTAINTY_UPPER_T
+    uncertainty_lower_px: float = 1.0    # L3D_DEF_UNCERTAINTY_LOWER_T
+    min_baseline: float = 0.25           # L3D_DEF_MIN_BASELINE_T
+    sigma_p: float = 3.5                 # L3D_DEF_SIGMA_P (px)
+    sigma_a: float = 10.0                # L3D_DEF_SIGMA_A (deg)
+    min_overlap_lower: float = 0.10      # L3D_MIN_OVERLAP_LOWER_T_G
+    min_overlap_upper: float = 0.30      # L3D_MIN_OVERLAP_UPPER_T_G
+
+    # --- verification / selection (cudawrapper.cu:1026-1110) ---
+    confidence_threshold: float = 1.0    # conf_t
+    confidence_norm: float = 2.0         # confidence_norm
+    support_threshold: float = 0.5       # per-support gate (cudawrapper.cu:699)
+
+    # --- replicator dynamics diffusion (commons.h:61, cudawrapper.h:35) ---
+    perform_diffusion: bool = False      # L3D_DEF_PERFORM_RDD
+    diffusion_iterations: int = 10       # L3D_RDD_MAX_ITER
+    # "reference" reproduces the lockstep sparse product of
+    # K_sparseMat_diffusion_step (cudawrapper.cu:765-829); "true" computes the
+    # published replicator-dynamics update P ∘ (P·W) restricted to the pattern.
+    diffusion_mode: str = "reference"
+
+    # --- clustering (commons.h:64, line3D.cc:1245,1334) ---
+    min_affinity: float = 0.25           # L3D_MIN_AFFINITY (direct edges)
+    collinear_affinity: float = 0.01     # collinear edge threshold (line3D.cc:1087,1165)
+    fh_c: float = 1.0                    # F-H constant c (line3D.cc:1245)
+    min_cameras_per_cluster: int = 4     # line3D.cc:1334
+    min_cameras_open: int = 3            # sweep threshold (line3D.cc:1585-1591)
+
+    # --- numerics ---
+    eps: float = 1e-12                   # L3D_EPS / L3D_EPS_G
+
+    # --- TPU-specific shape knobs (no reference equivalent) ---
+    # Maximum number of raw matches kept per source segment during
+    # verification.  The reference keeps an unbounded std::list
+    # (cudawrapper.cu:926-944); fixed shapes need a cap.  Overflow is counted
+    # and reported so it can be raised.
+    max_matches_per_segment: int = 256
+    # Segment-count padding granularity (TPU lane width).
+    pad_multiple: int = 128
+
+    def __post_init__(self):
+        # Reference clamps (line3D.cc:24-28)
+        lower = max(abs(self.uncertainty_lower_px), 1.0)
+        upper = abs(self.uncertainty_upper_px)
+        if upper <= lower:
+            upper = lower + 1.0
+        object.__setattr__(self, "uncertainty_lower_px", lower)
+        object.__setattr__(self, "uncertainty_upper_px", upper)
+
+
+DEFAULT_CONFIG = L3DConfig()

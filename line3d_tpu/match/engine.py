@@ -1,0 +1,250 @@
+"""Per-view matching engine: pairwise matching + verification + selection.
+
+Orchestrates the TPU kernels in `pairwise` and `scoring` over all views and
+reproduces the host-side selection logic of the reference:
+  * per-view match table build (performMatching, line3D.cc:698-885),
+  * confidence filter conf > 1.0, conf /= 2 (cudawrapper.cu:1089-1110),
+  * per-view median depth from best raw matches (cudawrapper.cu:1025-1076),
+  * greedy best-match selection per source segment with score = min(conf, 1)
+    (greedySelection, line3D.cc:899-965; addMatches only_best,
+    view.cc:162-183).
+
+Unlike the reference (which matches each unordered view pair once on the GPU
+and spools reversed matches to the partner's disk file, line3D.cc:838-872),
+every directed (view, neighbor) relation is recomputed on device — the pair
+kernel is symmetric (the reference's reverse-spool relies on exactly this),
+recompute is cheap on TPU, and it removes the disk-spool data bus entirely.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import L3DConfig
+from ..core.cameras import CameraSet
+from ..scene import Scene
+from . import pairwise, scoring
+
+
+@dataclasses.dataclass
+class ViewMatches:
+    """Filtered (verified) matches of one source view."""
+    view: int
+    src_seg: np.ndarray      # [K] int32
+    tgt_view: np.ndarray     # [K] int32 (global view index)
+    tgt_seg: np.ndarray      # [K] int32
+    depths: np.ndarray       # [K, 4] float32
+    confidence: np.ndarray   # [K] float32 (already divided by 2)
+    overflow: int = 0
+
+
+@dataclasses.dataclass
+class BestMatches:
+    """Per-(view, segment) best hypothesis — the clustering input.
+
+    Mirrors best_match_ (line3D.h:133): for every source segment with at
+    least one verified match, the highest-confidence one, unprojected to a 3D
+    segment in conditioned space.
+    """
+    view: np.ndarray         # [B] int32
+    seg: np.ndarray          # [B] int32
+    tgt_view: np.ndarray     # [B] int32
+    tgt_seg: np.ndarray      # [B] int32
+    score: np.ndarray        # [B] float32 (min(conf, 1))
+    P1: np.ndarray           # [B, 3] float64 (conditioned space)
+    P2: np.ndarray           # [B, 3] float64
+    dir: np.ndarray          # [B, 3] float64 normalized
+    d1: np.ndarray           # [B] float32 depth of P1
+    d2: np.ndarray           # [B] float32
+
+
+@functools.partial(jax.jit, static_argnames=("m_pair", "m_total", "row_chunk"))
+def _match_and_score_view(segs_src, mask_src, RtKinv_src, C_src,
+                          segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, P_nb,
+                          nb_mask, sigma_p, sigma_a, spatial_k,
+                          m_pair: int, m_total: int, row_chunk: int):
+    """Full device-side matching step for one source view.
+
+    Returns (cam [S, M], tgt [S, M], depths [S, M, 4], valid [S, M],
+             conf [S, M], overflow [N]).
+    """
+    res = pairwise.match_view_against_neighbors(
+        segs_src, mask_src, RtKinv_src, C_src,
+        segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, nb_mask, m_pair)
+
+    N, S, mp = res["tgt_idx"].shape
+    # neighbor-major merge: ordering (cam asc, tgt asc) matches the
+    # reference's sortMatchingPairs (sparsematrix.h:68-79)
+    cam_full = jnp.broadcast_to(
+        jnp.arange(N, dtype=jnp.int32)[:, None, None], (N, S, mp))
+    cam_full = jnp.transpose(cam_full, (1, 0, 2)).reshape(S, N * mp)
+    tgt_full = jnp.transpose(res["tgt_idx"], (1, 0, 2)).reshape(S, N * mp)
+    depths_full = jnp.transpose(res["depths"], (1, 0, 2, 3)).reshape(S, N * mp, 4)
+    valid_full = jnp.transpose(res["valid"], (1, 0, 2)).reshape(S, N * mp)
+
+    m_total = min(m_total, N * mp)
+    _, sel = jax.lax.top_k(valid_full.astype(jnp.int32), m_total)
+    valid = jnp.take_along_axis(valid_full, sel, axis=1)
+    cam = jnp.where(valid, jnp.take_along_axis(cam_full, sel, axis=1), -1)
+    tgt = jnp.where(valid, jnp.take_along_axis(tgt_full, sel, axis=1), -1)
+    depths = jnp.take_along_axis(depths_full, sel[:, :, None], axis=1)
+
+    conf = scoring.score_matches(
+        segs_src, mask_src, RtKinv_src, C_src,
+        cam, tgt, depths, valid, P_nb, segs_nb,
+        sigma_p, sigma_a, spatial_k, row_chunk=row_chunk)
+
+    total_overflow = res["overflow"]
+    dropped = jnp.maximum(jnp.sum(valid_full, axis=1) - m_total, 0)
+    total_overflow = jnp.sum(total_overflow) + jnp.sum(dropped)
+    return cam, tgt, depths, valid, conf, total_overflow
+
+
+def _pad_neighbors(arrs, n_max):
+    """Pad leading neighbor axis of each array to n_max."""
+    out = []
+    for a in arrs:
+        pad = n_max - a.shape[0]
+        if pad > 0:
+            cfg = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+            a = np.pad(a, cfg)
+        out.append(a)
+    return out
+
+
+def run_matching(scene: Scene, cameras: CameraSet, neighbors: list,
+                 config: L3DConfig, verbose: bool = False):
+    """Match + verify every view against its visual neighbors.
+
+    Returns (list[ViewMatches], BestMatches, median_depths [V] float64).
+    Also sets cameras.median_depth (setMedianDepth, line3D.cc:835).
+    """
+    V = scene.num_views
+    S = scene.max_segments
+    n_max = max((len(n) for n in neighbors), default=0)
+    if n_max == 0:
+        return [], _empty_best(), np.ones(V)
+
+    segs_f32 = np.asarray(scene.segments, np.float32)
+    mask = np.asarray(scene.seg_mask)
+    RtKinv32 = cameras.f32("RtKinv")
+    C32 = cameras.f32("C")
+    P32 = cameras.f32("P")
+
+    spatial_ks = cameras.spatial_uncertainty_k(2.0 * config.sigma_p)
+
+    all_matches = []
+    best_rows = []
+    median_depths = np.ones(V)
+
+    for v in range(V):
+        nb = np.asarray(neighbors[v], np.int64)
+        if len(nb) == 0:
+            continue
+        F = cameras.fundamentals_for_pairs(
+            np.stack([np.full(len(nb), v), nb], axis=1)).astype(np.float32)
+        (segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, P_nb) = _pad_neighbors(
+            [segs_f32[nb], mask[nb], F, RtKinv32[nb], C32[nb], P32[nb]],
+            n_max)
+        nb_mask = np.zeros(n_max, bool)
+        nb_mask[:len(nb)] = True
+
+        cam, tgt, depths, valid, conf, overflow = _match_and_score_view(
+            segs_f32[v], mask[v], RtKinv32[v], C32[v],
+            segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, P_nb, nb_mask,
+            np.float32(config.sigma_p), np.float32(config.sigma_a),
+            np.float32(spatial_ks[v]),
+            m_pair=config.max_matches_per_segment,
+            m_total=config.max_matches_per_segment,
+            row_chunk=128)
+        cam = np.asarray(cam)
+        tgt = np.asarray(tgt)
+        depths = np.asarray(depths)
+        valid = np.asarray(valid)
+        conf = np.asarray(conf)
+
+        # --- median depth (cudawrapper.cu:1025-1076) --------------------
+        conf_m = np.where(valid, conf, -np.inf)
+        max_conf = conf_m.max(axis=1)
+        arg = conf_m.argmax(axis=1)  # first max (ties)
+        has = max_conf > config.confidence_threshold / 2.0
+        if has.any():
+            rows = np.nonzero(has)[0]
+            dsel = depths[rows, arg[rows]][:, :2]   # (d1, d2) per segment
+            dall = dsel.reshape(-1)                 # seg-order, d1 then d2
+            dall_sorted = np.sort(dall, kind="stable")
+            median_depths[v] = float(dall_sorted[len(dall_sorted) // 2])
+        cameras.median_depth[v] = median_depths[v]
+
+        # --- confidence filter (cudawrapper.cu:1089-1110) ----------------
+        keep = valid & (conf > config.confidence_threshold)
+        si, mi = np.nonzero(keep)
+        vm = ViewMatches(
+            view=v,
+            src_seg=si.astype(np.int32),
+            tgt_view=nb[cam[si, mi]].astype(np.int32),
+            tgt_seg=tgt[si, mi].astype(np.int32),
+            depths=depths[si, mi],
+            confidence=(conf[si, mi] / config.confidence_norm).astype(np.float32),
+            overflow=int(overflow))
+        all_matches.append(vm)
+
+        # --- best match per segment (greedySelection) --------------------
+        conf_f = np.where(keep, conf, -np.inf)
+        bmax = conf_f.max(axis=1)
+        barg = conf_f.argmax(axis=1)
+        bs = np.nonzero(bmax > -np.inf)[0]
+        if len(bs):
+            bm = barg[bs]
+            bconf = np.minimum(conf[bs, bm] / config.confidence_norm, 1.0)
+            d1 = depths[bs, bm, 0]
+            d2 = depths[bs, bm, 1]
+            # unproject in float64 (unprojectSegment, view.cc:302-342)
+            p1 = np.concatenate([scene.segments[v, bs, 0:2],
+                                 np.ones((len(bs), 1), np.float32)], axis=1)
+            p2 = np.concatenate([scene.segments[v, bs, 2:4],
+                                 np.ones((len(bs), 1), np.float32)], axis=1)
+            r1 = (cameras.RtKinv[v] @ p1.astype(np.float64).T).T
+            r1 /= np.linalg.norm(r1, axis=1, keepdims=True)
+            r2 = (cameras.RtKinv[v] @ p2.astype(np.float64).T).T
+            r2 /= np.linalg.norm(r2, axis=1, keepdims=True)
+            P1 = cameras.C[v] + r1 * d1[:, None].astype(np.float64)
+            P2 = cameras.C[v] + r2 * d2[:, None].astype(np.float64)
+            dirv = P2 - P1
+            nrm = np.linalg.norm(dirv, axis=1, keepdims=True)
+            dirv = np.divide(dirv, nrm, out=np.zeros_like(dirv),
+                             where=nrm > 0)
+            best_rows.append(dict(
+                view=np.full(len(bs), v, np.int32),
+                seg=bs.astype(np.int32),
+                tgt_view=nb[cam[bs, bm]].astype(np.int32),
+                tgt_seg=tgt[bs, bm].astype(np.int32),
+                score=bconf.astype(np.float32),
+                P1=P1, P2=P2, dir=dirv,
+                d1=d1, d2=d2))
+
+        if verbose:
+            print(f"[L3D] view {v}: {len(si)} verified matches, "
+                  f"median_depth={median_depths[v]:.4f}, overflow={int(overflow)}")
+
+    best = _concat_best(best_rows)
+    return all_matches, best, median_depths
+
+
+def _empty_best() -> BestMatches:
+    z = np.zeros(0, np.int32)
+    zf = np.zeros(0, np.float32)
+    z3 = np.zeros((0, 3))
+    return BestMatches(view=z, seg=z, tgt_view=z, tgt_seg=z, score=zf,
+                       P1=z3, P2=z3, dir=z3, d1=zf, d2=zf)
+
+
+def _concat_best(rows) -> BestMatches:
+    if not rows:
+        return _empty_best()
+    cat = {k: np.concatenate([r[k] for r in rows]) for k in rows[0]}
+    return BestMatches(**cat)
