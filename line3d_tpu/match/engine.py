@@ -158,9 +158,9 @@ def run_matching(scene: Scene, cameras: CameraSet, neighbors: list,
             segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, P_nb, nb_mask,
             np.float32(config.sigma_p), np.float32(config.sigma_a),
             np.float32(spatial_ks[v]),
-            m_pair=config.max_matches_per_segment,
-            m_total=config.max_matches_per_segment,
-            row_chunk=128)
+            m_pair=min(config.max_matches_per_segment, S),
+            m_total=min(config.max_matches_per_segment, S),
+            row_chunk=min(128, S))
         cam = np.asarray(cam)
         tgt = np.asarray(tgt)
         depths = np.asarray(depths)

@@ -100,6 +100,7 @@ def compact_rows(depths, valid, m_cap):
     """
     n_valid = jnp.sum(valid, axis=1).astype(jnp.int32)
     key = valid.astype(jnp.int32)
+    m_cap = min(m_cap, valid.shape[1])
     _, idx = jax.lax.top_k(key, m_cap)                 # stable: low idx first
     kept_valid = jnp.take_along_axis(valid, idx, axis=1)
     depths_g = jnp.take_along_axis(depths, idx[:, :, None], axis=1)

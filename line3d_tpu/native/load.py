@@ -1,0 +1,61 @@
+"""ctypes loader + on-demand builder for the native runtime library.
+
+The reference's host runtime is C++ (SURVEY.md §2); the sequential host
+stages here (F-H union-find, event sweep) are likewise native, built with g++
+on first use.  Python fallbacks exist for every entry point, so the framework
+works without a toolchain.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_HERE, "libline3d_native.so")
+_SRC = os.path.join(_HERE, "fh_cluster.cpp")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def build(force: bool = False) -> bool:
+    """Compile the native library.  Returns True on success."""
+    if os.path.exists(_LIB_PATH) and not force and \
+            os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC):
+        return True
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+             "-o", _LIB_PATH, _SRC],
+            check=True, capture_output=True)
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+def get_lib():
+    """Load (building if necessary) the native library; None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not build():
+            return None
+        lib = ctypes.CDLL(_LIB_PATH)
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        lib.fh_cluster.argtypes = [i64p, i64p, f64p, ctypes.c_int64,
+                                   ctypes.c_int64, ctypes.c_double, i64p]
+        lib.fh_cluster.restype = None
+        lib.sweep_events.argtypes = [i64p, i64p, ctypes.c_int64,
+                                     ctypes.c_int64, ctypes.c_int64,
+                                     i64p, i64p]
+        lib.sweep_events.restype = ctypes.c_int64
+        _lib = lib
+        return _lib

@@ -1,0 +1,242 @@
+"""Public pipeline API: the TPU-native Line3D class.
+
+Mirrors the reference's L3D::Line3D surface (line3D.h:58-102): add_image()
+per view, compute_3d_model(), get_result(), save_3d_lines_as_stl/txt(),
+num_cameras(), reset() — but with an array-first core: images are reduced to
+padded segment tensors immediately, and the five pipeline stages
+(compute3Dmodel, line3D.cc:345-374) run as batched XLA programs.
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+from .config import L3DConfig, DEFAULT_CONFIG
+from .core.cameras import CameraSet
+from .core.conditioning import compute_conditioning, SceneTransform
+from .scene import Scene, view_similarities_from_worldpoints, \
+    find_visual_neighbors
+from .match import engine
+from .match.collinearity import collinearity_maps
+from .cluster import affinity, fh, diffusion as diffusion_mod
+from .fit import lines as fit_lines
+from .io import writers
+
+
+class Line3D:
+    """Line-based multi-view stereo, TPU-native.
+
+    Typical use (same flow as the reference CLIs, main_bundler.cpp:104-332):
+
+        l3d = Line3D(data_directory, config)
+        for i, img in enumerate(images):
+            l3d.add_image(i, img, K, R, t, worldpoint_ids)
+        l3d.compute_3d_model(perform_diffusion=False)
+        result = l3d.get_result()
+        l3d.save_3d_lines_as_txt(result, "out.txt")
+    """
+
+    def __init__(self, data_directory: str | None = None,
+                 config: L3DConfig = DEFAULT_CONFIG, verbose: bool = False):
+        self.config = config
+        self.verbose = verbose
+        self.data_directory = data_directory
+        if data_directory:
+            os.makedirs(data_directory, exist_ok=True)
+        self.reset()
+
+    # ------------------------------------------------------------------
+    def reset(self):
+        self._images = []       # external ids, in add order
+        self._K, self._R, self._t = [], [], []
+        self._wh = []
+        self._segments = []     # per-view [S_v, 4] arrays
+        self._wp_lists = []
+        self._fixed_sim = None  # optional {ext_id: {ext_id: sim}}
+        self.scene: Scene | None = None
+        self.cameras: CameraSet | None = None
+        self.transform: SceneTransform | None = None
+        self.result: list = []
+        self.neighbors = None
+        self.stats = {}
+
+    def num_cameras(self) -> int:
+        return len(self._images)
+
+    # ------------------------------------------------------------------
+    def add_image(self, image_id: int, image, K, R, t,
+                  worldpoint_ids=None, max_img_width: int | None = None,
+                  load_and_store_segments: bool | None = None):
+        """Detect (or load cached) segments for one image and register the
+        view (addImage, line3D.cc:95-217).
+
+        `image` may be an HxW(x3) array, or None if segments are supplied via
+        `add_view_segments` / the cache.
+        """
+        from .detect import detector
+        from .io import cache as seg_cache
+
+        if image_id in self._images:
+            raise ValueError(f"image id {image_id} already in use")
+        if worldpoint_ids is None and self._fixed_sim is None:
+            raise ValueError("unlinked images cannot be added (no worldpoints)")
+
+        cfg = self.config
+        max_w = cfg.max_image_width if max_img_width is None else max_img_width
+        store = cfg.load_and_store_segments if load_and_store_segments is None \
+            else load_and_store_segments
+
+        img = np.asarray(image)
+        h, w = img.shape[:2]
+
+        new_w, new_h = w, h
+        if max_w > 0 and max(w, h) > max_w:
+            s = max_w / float(max(w, h))
+            new_w, new_h = round(w * s), round(h * s)
+
+        segs = None
+        cache_file = None
+        if self.data_directory and store:
+            cache_file = seg_cache.segment_cache_path(
+                self.data_directory, image_id, new_w, new_h,
+                cfg.use_collinearity)
+            segs = seg_cache.load_segments(cache_file)
+        if segs is None:
+            min_len = cfg.min_line_length_factor * np.hypot(h, w)
+            segs = detector.detect_line_segments(
+                img, new_w, new_h, min_len, cfg.max_num_segments)
+            if cache_file:
+                seg_cache.save_segments(cache_file, segs)
+
+        self.add_view_segments(image_id, segs, K, R, t, worldpoint_ids,
+                               width=w, height=h)
+
+    def add_view_segments(self, image_id: int, segments, K, R, t,
+                          worldpoint_ids=None, width: int = 0,
+                          height: int = 0):
+        """Register a view with precomputed 2D segments (detector bypass —
+        the reference's `-l` cache plays the same role, line3D.cc:160-168)."""
+        self._images.append(image_id)
+        self._K.append(np.asarray(K, np.float64))
+        self._R.append(np.asarray(R, np.float64))
+        self._t.append(np.asarray(t, np.float64).reshape(3))
+        self._wh.append((width, height))
+        self._segments.append(np.asarray(segments, np.float32).reshape(-1, 4))
+        self._wp_lists.append(list(worldpoint_ids) if worldpoint_ids is not None
+                              else [])
+
+    def set_view_similarity(self, image_id: int, sims: dict):
+        """Fixed view similarity instead of worldpoints (addImage_fixed_sim /
+        setViewSimilarity, line3D.cc:220-342, 1938-1946)."""
+        if self._fixed_sim is None:
+            self._fixed_sim = {}
+        self._fixed_sim[image_id] = {k: v for k, v in sims.items()
+                                     if v > 0.01}
+
+    # ------------------------------------------------------------------
+    def _build_scene(self):
+        V = len(self._images)
+        cams = CameraSet(
+            K=np.stack(self._K), R=np.stack(self._R), t=np.stack(self._t),
+            width=np.array([wh[0] for wh in self._wh]),
+            height=np.array([wh[1] for wh in self._wh]),
+            uncertainty_lower_px=self.config.uncertainty_lower_px,
+            uncertainty_upper_px=self.config.uncertainty_upper_px)
+        collin = None
+        scene = Scene.from_ragged(self._segments, cams,
+                                  wp_lists=self._wp_lists, collin=collin,
+                                  config=self.config)
+        self.scene, self.cameras = scene, cams
+
+    def _view_similarities(self):
+        V = len(self._images)
+        if self._fixed_sim is not None:
+            ext2int = {e: i for i, e in enumerate(self._images)}
+            sim = np.zeros((V, V))
+            for e, d in self._fixed_sim.items():
+                for e2, s in d.items():
+                    if e in ext2int and e2 in ext2int:
+                        sim[ext2int[e], ext2int[e2]] = s
+            return sim
+        sim, _ = view_similarities_from_worldpoints(self._wp_lists, V)
+        return sim
+
+    # ------------------------------------------------------------------
+    def compute_3d_model(self, perform_diffusion: bool | None = None):
+        """Run the five-stage pipeline (compute3Dmodel, line3D.cc:345-374)."""
+        cfg = self.config
+        diffu = cfg.perform_diffusion if perform_diffusion is None \
+            else perform_diffusion
+        if len(self._images) < 4:
+            raise ValueError("not enough images (need >= 4)")
+
+        t0 = time.time()
+        self._build_scene()
+        scene, cams = self.scene, self.cameras
+
+        # collinearity (L3DSegments ctor, segments.h:73-101)
+        if cfg.use_collinearity:
+            scene.collin = collinearity_maps(scene.segments, scene.seg_mask,
+                                             cfg.collinearity_sigma)
+
+        # stage 1: visual neighbors (line3D.cc:361)
+        sim = self._view_similarities()
+        self.neighbors = find_visual_neighbors(
+            sim, cams.baselines(), cfg.min_baseline, cfg.matching_neighbors,
+            cfg.eps)
+
+        # stage 2: scene conditioning (line3D.cc:364)
+        self.transform = compute_conditioning(cams.C)
+        cams.transform(self.transform.Qinv, self.transform.scale)
+
+        # stage 3+4: matching + verification + greedy selection
+        # (line3D.cc:367-370)
+        t1 = time.time()
+        matches, best, med = engine.run_matching(
+            scene, cams, self.neighbors, cfg, verbose=self.verbose)
+        t2 = time.time()
+
+        # stage 5: clustering (line3D.cc:373)
+        graph = affinity.build_affinity_graph(
+            best, matches, scene.collin, cams, cfg, scene.max_segments,
+            verbose=self.verbose)
+        if diffu and graph.num_nodes:
+            graph = diffusion_mod.run_diffusion(graph, cfg, self.verbose)
+        if graph.num_nodes:
+            labels = fh.fh_cluster(graph.edges_i, graph.edges_j,
+                                   graph.edges_w, graph.num_nodes, cfg.fh_c)
+            self.result = fit_lines.process_clusters(
+                graph, labels, best, self.transform, cfg,
+                scene.max_segments, verbose=self.verbose)
+        else:
+            self.result = []
+        t3 = time.time()
+
+        self.stats = dict(
+            num_views=scene.num_views,
+            num_best=int(best.view.size),
+            num_edges=int(len(graph.edges_w)),
+            num_lines=len(self.result),
+            t_match=t2 - t1, t_cluster=t3 - t2, t_total=t3 - t0)
+        if self.verbose:
+            print(f"[L3D] {len(self.result)} 3D lines found! "
+                  f"(match {t2-t1:.2f}s, cluster {t3-t2:.2f}s)")
+        return self.result
+
+    # ------------------------------------------------------------------
+    def get_result(self):
+        return self.result
+
+    def get_segment_2d(self, view: int, seg: int):
+        """Coordinates of a 2D segment (getSegment2D, line3D.cc:2004-2013);
+        `view` is the internal dense index."""
+        return self.scene.segments[view, seg]
+
+    def save_3d_lines_as_stl(self, result, filename: str):
+        writers.save_stl(result, filename)
+
+    def save_3d_lines_as_txt(self, result, filename: str):
+        writers.save_txt(result, filename, get_segment_2d=self.get_segment_2d,
+                         view_id_map=self._images)

@@ -15,13 +15,21 @@ from line3d_tpu.core.cameras import CameraSet
 from line3d_tpu.scene import Scene
 
 
-def house_wireframe() -> np.ndarray:
-    """[L, 2, 3] endpoints of a 'house' wireframe centered near origin."""
+def house_wireframe(jitter: float = 0.18, seed: int = 7) -> np.ndarray:
+    """[L, 2, 3] endpoints of a 'house' wireframe centered near origin.
+
+    Corners are deterministically jittered: a perfectly symmetric box admits
+    multi-view-consistent *wrong* matches (parallel pillars / mirrored roof
+    edges score full support under epipolar ambiguity), which no matcher can
+    disambiguate — the jitter makes ground truth unique.
+    """
     c = np.array([
         [0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],   # floor
         [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1],   # ceiling
         [0.5, 0.5, 1.6],                              # roof apex
     ], float) - np.array([0.5, 0.5, 0.5])
+    rng = np.random.default_rng(seed)
+    c = c + rng.uniform(-jitter, jitter, c.shape)
     edges = [
         (0, 1), (1, 2), (2, 3), (3, 0),
         (4, 5), (5, 6), (6, 7), (7, 4),

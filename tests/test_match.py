@@ -1,0 +1,117 @@
+"""Matching + verification tests on the synthetic wireframe scene."""
+import numpy as np
+import jax.numpy as jnp
+
+from line3d_tpu.config import L3DConfig
+from line3d_tpu.core.conditioning import compute_conditioning
+from line3d_tpu.match import pairwise, engine
+from line3d_tpu.scene import view_similarities_from_worldpoints, \
+    find_visual_neighbors
+from synthetic import make_scene
+
+
+def _f32(x):
+    return jnp.asarray(np.asarray(x, np.float32))
+
+
+def test_pairwise_match_recovers_true_depths():
+    syn = make_scene(num_views=6)
+    cams = syn.cameras
+    sc = syn.scene
+    v, n = 0, 1
+
+    F = cams.fundamental(v, n).astype(np.float32)
+    depths, valid = pairwise.match_pair_dense(
+        _f32(sc.segments[v]), _f32(sc.segments[n]),
+        jnp.asarray(sc.seg_mask[v]), jnp.asarray(sc.seg_mask[n]),
+        jnp.asarray(F), _f32(cams.RtKinv[v]), _f32(cams.RtKinv[n]),
+        _f32(cams.C[v]), _f32(cams.C[n]))
+    depths = np.asarray(depths)
+    valid = np.asarray(valid)
+
+    # every ground-truth co-visible line must be matched with correct depths
+    ids_v = syn.seg_line_id[v]
+    ids_n = syn.seg_line_id[n]
+    common = set(ids_v) & set(ids_n)
+    assert len(common) >= 4
+    hits = 0
+    for li in common:
+        i = int(np.nonzero(ids_v == li)[0][0])
+        j = int(np.nonzero(ids_n == li)[0][0])
+        if not valid[i, j]:
+            continue
+        hits += 1
+        d = depths[i, j]
+        td_v = syn.true_depths[v][i]
+        np.testing.assert_allclose(d[0], td_v[0], rtol=2e-2)
+        np.testing.assert_allclose(d[1], td_v[1], rtol=2e-2)
+        td_n = syn.true_depths[n][j]
+        np.testing.assert_allclose(d[2], td_n[0], rtol=2e-2)
+        np.testing.assert_allclose(d[3], td_n[1], rtol=2e-2)
+    assert hits >= max(2, len(common) // 2)
+
+
+def test_compact_rows_order_and_overflow():
+    valid = np.zeros((3, 8), bool)
+    valid[0, [1, 3, 7]] = True
+    valid[2, [0, 2, 4, 5, 6]] = True
+    depths = np.arange(3 * 8 * 4, dtype=np.float32).reshape(3, 8, 4)
+    tgt, dg, kept, n_valid = pairwise.compact_rows(
+        jnp.asarray(depths), jnp.asarray(valid), 4)
+    tgt = np.asarray(tgt)
+    # ascending target order, -1 padded
+    assert tgt[0].tolist() == [1, 3, 7, -1]
+    assert tgt[1].tolist() == [-1, -1, -1, -1]
+    assert tgt[2].tolist() == [0, 2, 4, 5]       # 5th match dropped by cap
+    assert np.asarray(n_valid).tolist() == [3, 0, 5]
+    np.testing.assert_allclose(np.asarray(dg)[0, 0], depths[0, 1])
+
+
+def test_full_matching_engine():
+    syn = make_scene(num_views=8)
+    cams = syn.cameras
+    sc = syn.scene
+    cfg = L3DConfig(min_baseline=0.25)
+
+    tr = compute_conditioning(cams.C)
+    cams.transform(tr.Qinv, tr.scale)
+
+    sim, _ = view_similarities_from_worldpoints(syn.wp_lists, sc.num_views)
+    neighbors = find_visual_neighbors(sim, cams.baselines(),
+                                      cfg.min_baseline, cfg.matching_neighbors)
+    assert all(len(n) > 0 for n in neighbors)
+
+    matches, best, med = engine.run_matching(sc, cams, neighbors, cfg)
+    assert len(matches) == sc.num_views
+    assert best.view.size > 0
+
+    # verified best matches must correspond to the same ground-truth 3D line
+    correct = 0
+    total = 0
+    for k in range(best.view.size):
+        v = int(best.view[k]); s = int(best.seg[k])
+        tv = int(best.tgt_view[k]); ts = int(best.tgt_seg[k])
+        total += 1
+        if syn.seg_line_id[v][s] == syn.seg_line_id[tv][ts]:
+            correct += 1
+    assert total > 10
+    assert correct / total > 0.9, f"{correct}/{total}"
+
+    # unprojected 3D endpoints (conditioned space) must match ground truth
+    # after inverse conditioning
+    P1 = tr.inverse_transform_points(best.P1)
+    P2 = tr.inverse_transform_points(best.P2)
+    errs = []
+    for k in range(best.view.size):
+        v = int(best.view[k]); s = int(best.seg[k])
+        li = syn.seg_line_id[v][s]
+        A, B = syn.lines3d[li]
+        d = B - A
+        d = d / np.linalg.norm(d)
+        for P in (P1[k], P2[k]):
+            err = np.linalg.norm(np.cross(P - A, d))
+            errs.append(err)
+    assert np.median(errs) < 0.02   # scene scale ~1
+
+    # median depths should be near the camera-to-scene distance (~4)
+    assert np.all(med > 0)
