@@ -1,0 +1,169 @@
+"""Command-line entry points: the bundler and VisualSfM front-ends.
+
+Flag-compatible with the reference executables (main_bundler.cpp:36-78,
+main_vsfm.cpp flags) including the parameter-stamped output filename
+(main_bundler.cpp:302-327).
+
+    python -m line3d_tpu.cli bundler -i <folder> [-o out] [-w W] [-n N] ...
+    python -m line3d_tpu.cli vsfm   -i <nvm file> -m <image folder> ...
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+from .config import L3DConfig
+from .pipeline import Line3D
+from .io import bundler as bundler_io, nvm as nvm_io, images as img_io
+
+
+def _add_common_flags(ap: argparse.ArgumentParser):
+    d = L3DConfig()
+    ap.add_argument("-o", "--output_folder", default="")
+    ap.add_argument("-w", "--max_image_width", type=int,
+                    default=d.max_image_width)
+    ap.add_argument("-n", "--num_matching_neighbors", type=int,
+                    default=d.matching_neighbors)
+    ap.add_argument("-a", "--reprojection_error_lower_bound", type=float,
+                    default=d.uncertainty_lower_px)
+    ap.add_argument("-b", "--reprojection_error_upper_bound", type=float,
+                    default=d.uncertainty_upper_px)
+    ap.add_argument("-g", "--sigma_a", type=float, default=d.sigma_a)
+    ap.add_argument("-p", "--sigma_p", type=float, default=d.sigma_p)
+    ap.add_argument("-d", "--diffusion", type=lambda s: s.lower() != "false",
+                    default=d.perform_diffusion)
+    ap.add_argument("-v", "--verbose", type=lambda s: s.lower() != "false",
+                    default=False)
+    ap.add_argument("-l", "--load_and_store_flag",
+                    type=lambda s: s.lower() != "false",
+                    default=d.load_and_store_segments)
+    ap.add_argument("-e", "--collinearity_flag",
+                    type=lambda s: s.lower() != "false",
+                    default=d.use_collinearity)
+    ap.add_argument("-x", "--min_image_baseline", type=float,
+                    default=d.min_baseline)
+
+
+def _config_from_args(args) -> L3DConfig:
+    return L3DConfig(
+        max_image_width=args.max_image_width,
+        matching_neighbors=args.num_matching_neighbors,
+        uncertainty_lower_px=abs(args.reprojection_error_lower_bound),
+        uncertainty_upper_px=abs(args.reprojection_error_upper_bound),
+        sigma_a=abs(args.sigma_a), sigma_p=abs(args.sigma_p),
+        perform_diffusion=args.diffusion,
+        load_and_store_segments=args.load_and_store_flag,
+        use_collinearity=args.collinearity_flag,
+        min_baseline=abs(args.min_image_baseline))
+
+
+def _result_stem(args) -> str:
+    """Parameter-stamped result name (main_bundler.cpp:302-327)."""
+    n = args.num_matching_neighbors
+    parts = [
+        "line3D_result_",
+        f"W_{args.max_image_width}_",
+        "N_ALL_" if n < 0 else f"N_{n}_",
+        f"tL_{args.reprojection_error_lower_bound:g}_",
+        f"tU_{args.reprojection_error_upper_bound:g}_",
+        f"sigmaP_{args.sigma_p:g}_",
+        f"sigmaA_{args.sigma_a:g}_",
+        "COLLIN_" if args.collinearity_flag else "NO_COLLIN_",
+        "DIFFUSION" if args.diffusion else "NO_DIFFUSION",
+    ]
+    return "_".join(parts)
+
+
+def _finish(l3d: Line3D, args, output_folder: str):
+    result = l3d.compute_3d_model(perform_diffusion=args.diffusion)
+    stem = os.path.join(output_folder, _result_stem(args))
+    l3d.save_3d_lines_as_stl(result, stem + ".stl")
+    l3d.save_3d_lines_as_txt(result, stem + ".txt")
+    num_segs = sum(len(r.segments3d) for r in result)
+    print(f"[SYS] 3D lines:        {len(result)}")
+    print(f"[SYS] 3D segments:     {num_segs}")
+    print(f"[SYS] #images:         {l3d.num_cameras()}")
+    return stem
+
+
+def main_bundler(argv=None):
+    ap = argparse.ArgumentParser("line3d-bundler")
+    ap.add_argument("-i", "--input_folder", required=True,
+                    help="folder that contains the bundle.rd.out file")
+    _add_common_flags(ap)
+    args = ap.parse_args(argv)
+
+    output_folder = args.output_folder or os.path.join(args.input_folder,
+                                                       "Line3D")
+    os.makedirs(output_folder, exist_ok=True)
+    cfg = _config_from_args(args)
+    l3d = Line3D(data_directory=os.path.join(output_folder, "L3D_data"),
+                 config=cfg, verbose=args.verbose)
+
+    ds = bundler_io.load_bundler_scene(args.input_folder)
+    print(f"[SYS] num_cameras: {len(ds.focal)}")
+    for i in range(len(ds.focal)):
+        if ds.image_paths[i] is None:
+            print(f"[SYS] warning: no image found for cam {i}")
+            continue
+        if len(ds.wp_lists[i]) == 0:
+            print(f"[SYS] skipping unlinked image {i}")
+            continue
+        img = img_io.load_image(ds.image_paths[i])
+        K = img_io.make_K(ds.focal[i], img.shape[1], img.shape[0])
+        d1, d2 = ds.distortion[i]
+        img = img_io.undistort(img, K, d1, d2)
+        l3d.add_image(i, img, K, ds.R[i], ds.t[i], ds.wp_lists[i],
+                      max_img_width=args.max_image_width,
+                      load_and_store_segments=args.load_and_store_flag)
+    _finish(l3d, args, output_folder)
+
+
+def main_vsfm(argv=None):
+    ap = argparse.ArgumentParser("line3d-vsfm")
+    ap.add_argument("-i", "--nvm_file", required=True)
+    ap.add_argument("-m", "--image_folder", default="",
+                    help="folder with the images (default: NVM file folder)")
+    _add_common_flags(ap)
+    args = ap.parse_args(argv)
+
+    image_folder = args.image_folder or os.path.dirname(args.nvm_file)
+    output_folder = args.output_folder or os.path.join(image_folder, "Line3D")
+    os.makedirs(output_folder, exist_ok=True)
+    cfg = _config_from_args(args)
+    l3d = Line3D(data_directory=os.path.join(output_folder, "L3D_data"),
+                 config=cfg, verbose=args.verbose)
+
+    ds = nvm_io.load_nvm_scene(args.nvm_file)
+    print(f"[SYS] num_cameras: {len(ds.focal)}")
+    for i in range(len(ds.focal)):
+        if len(ds.wp_lists[i]) == 0:
+            print(f"[SYS] skipping unlinked image {i}")
+            continue
+        img = img_io.load_image(os.path.join(image_folder,
+                                             ds.image_names[i]))
+        K = img_io.make_K(ds.focal[i], img.shape[1], img.shape[0])
+        # single-coefficient model, negated (main_vsfm.cpp:259)
+        img = img_io.undistort(img, K, -ds.distortion[i])
+        l3d.add_image(i, img, K, ds.R[i], ds.t[i], ds.wp_lists[i],
+                      max_img_width=args.max_image_width,
+                      load_and_store_segments=args.load_and_store_flag)
+    _finish(l3d, args, output_folder)
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] not in ("bundler", "vsfm"):
+        print("usage: python -m line3d_tpu.cli {bundler|vsfm} ...",
+              file=sys.stderr)
+        return 2
+    if argv[0] == "bundler":
+        return main_bundler(argv[1:])
+    return main_vsfm(argv[1:])
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,375 @@
+"""Vectorized line-segment detection (TPU-native LSD replacement).
+
+The reference uses a greedy, inherently sequential LSD (seeded region growing
+with a running region angle, lsd_opencv.cpp:537-969).  SURVEY.md §7 marks
+this as hard part #1: the TPU build re-formulates detection as a data-parallel
+pipeline with the same validation statistics:
+
+  1. Gaussian blur + 0.8x downscale (flsd, lsd_opencv.cpp:546-558),
+  2. 2x2 gradient field: angle = atan2(gx, -gy), norm threshold
+     rho = quant / sin(prec) (ll_angle, lsd_opencv.cpp:636-684),
+  3. line-support regions as connected components of the 8-neighbor graph
+     where both pixels' gradient angles agree within prec = 22.5 deg — a
+     hook + pointer-jumping label propagation instead of greedy growth,
+  4. per-region weighted rectangle fit via moment/inertia statistics
+     (region2rect/get_theta, lsd_opencv.cpp:788-882) as segment reductions,
+  5. density test (refine's gate, lsd_opencv.cpp:887-889) and an a-contrario
+     NFA validation with the same binomial-tail statistic
+     (nfa, lsd_opencv.cpp:1198-1234) on the host for surviving candidates.
+
+Differences vs the reference (documented, by design): no iterative region
+refinement / radius reduction (low-density regions are rejected rather than
+shrunk), and the NFA counts the region's own pixels against the fitted
+rectangle's area instead of re-rasterizing the rectangle.  Recall of long
+segments is validated against OpenCV's LSD in tests/test_detect.py.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+# LSD constants (lsd_opencv.hpp:158-161, createLineSegmentDetectorPtr)
+SCALE = 0.8
+SIGMA_SCALE = 0.6
+QUANT = 2.0
+ANG_TH = 22.5
+LOG_EPS = 0.0
+DENSITY_TH = 0.7
+
+NOTDEF = -1024.0
+
+
+def gaussian_kernel1d(sigma: float) -> np.ndarray:
+    """cv::GaussianBlur-compatible kernel: size from LSD (flsd,
+    lsd_opencv.cpp:550-553): h = ceil(sigma * sqrt(2*3*ln10))."""
+    h = int(math.ceil(sigma * math.sqrt(2.0 * 3.0 * math.log(10.0))))
+    x = np.arange(-h, h + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+def _blur_and_scale(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Gaussian blur (sigma = SIGMA_SCALE/SCALE) + bilinear resize to
+    (out_h, out_w)."""
+    sigma = SIGMA_SCALE / SCALE if SCALE < 1 else SIGMA_SCALE
+    k = jnp.asarray(gaussian_kernel1d(sigma))
+    r = (len(k) - 1) // 2
+    # separable blur with edge replication (cv2 BORDER_REFLECT101-ish; the
+    # boundary treatment only affects a 3px frame)
+    pad = jnp.pad(img, ((r, r), (0, 0)), mode="edge")
+    img_v = jax.vmap(lambda col: jnp.convolve(col, k, mode="valid"),
+                     in_axes=1, out_axes=1)(pad)
+    pad = jnp.pad(img_v, ((0, 0), (r, r)), mode="edge")
+    img_b = jax.vmap(lambda row: jnp.convolve(row, k, mode="valid"))(pad)
+    return jax.image.resize(img_b, (out_h, out_w), method="linear")
+
+
+def _gradient_field(img: jnp.ndarray, rho: float):
+    """2x2 scheme of ll_angle (lsd_opencv.cpp:661-684)."""
+    H, W = img.shape
+    A = img[:-1, :-1]
+    B = img[:-1, 1:]
+    C = img[1:, :-1]
+    D = img[1:, 1:]
+    DA = D - A
+    BC = B - C
+    gx = DA + BC
+    gy = DA - BC
+    norm = jnp.sqrt((gx * gx + gy * gy) * 0.25)
+    angle = jnp.arctan2(gx, -gy)
+    defined = norm > rho
+    # pad back to full size; last row/col undefined (lsd_opencv.cpp:652-653)
+    norm = jnp.pad(norm, ((0, 1), (0, 1)))
+    angle = jnp.pad(angle, ((0, 1), (0, 1)), constant_values=NOTDEF)
+    defined = jnp.pad(defined, ((0, 1), (0, 1)), constant_values=False)
+    angle = jnp.where(defined, angle, NOTDEF)
+    return norm, angle, defined
+
+
+def _angle_ok(a: jnp.ndarray, b: jnp.ndarray, prec: float) -> jnp.ndarray:
+    """|a - b| folded into [-pi, pi] <= prec (angle_diff semantics)."""
+    d = a - b
+    d = jnp.abs(jnp.mod(d + jnp.pi, 2.0 * jnp.pi) - jnp.pi)
+    return d <= prec
+
+
+def _connected_components(angle: jnp.ndarray, defined: jnp.ndarray,
+                          prec, rounds: int = 24,
+                          jumps: int = 6) -> jnp.ndarray:
+    """8-connected components among defined pixels with pairwise angle
+    agreement.  `prec` may be a scalar or a per-pixel map (the refinement
+    pass uses per-component tolerances).  Returns flat root labels [H, W]
+    (undefined -> H*W)."""
+    H, W = angle.shape
+    BIG = H * W
+    idx = (jnp.arange(H)[:, None] * W + jnp.arange(W)[None, :])
+    label = jnp.where(defined, idx, BIG).astype(jnp.int32)
+
+    prec_map = jnp.broadcast_to(jnp.asarray(prec, jnp.float32), angle.shape)
+
+    shifts = [(-1, -1), (-1, 0), (-1, 1), (0, -1),
+              (0, 1), (1, -1), (1, 0), (1, 1)]
+
+    def hook(lab):
+        best = lab
+        for dy, dx in shifts:
+            nb_lab = _shift_fill(lab, dy, dx, BIG)
+            nb_ang = _shift_fill(angle, dy, dx, NOTDEF)
+            nb_def = _shift_fill(defined, dy, dx, False)
+            nb_prec = _shift_fill(prec_map, dy, dx, 0.0)
+            tol = jnp.minimum(prec_map, nb_prec)
+            ok = defined & nb_def & _angle_ok(angle, nb_ang, tol)
+            best = jnp.minimum(best, jnp.where(ok, nb_lab, BIG))
+        return best
+
+    def compress(lab):
+        flat = lab.reshape(-1)
+        padded = jnp.concatenate([flat, jnp.array([BIG], jnp.int32)])
+        for _ in range(jumps):
+            padded = padded[jnp.minimum(padded, BIG)]
+            # note: padded[BIG] = BIG keeps undefined stable
+        return padded[:-1].reshape(lab.shape)
+
+    def body(i, lab):
+        return compress(jnp.minimum(lab, hook(lab)))
+
+    label = jax.lax.fori_loop(0, rounds, body, label)
+    return label
+
+
+def _shift_fill(x: jnp.ndarray, dy: int, dx: int, fill):
+    """Shift a 2D array by (dy, dx), filling vacated cells."""
+    H, W = x.shape
+    out = jnp.full_like(x, fill)
+    ys = slice(max(dy, 0), H + min(dy, 0))
+    yd = slice(max(-dy, 0), H + min(-dy, 0))
+    xs = slice(max(dx, 0), W + min(dx, 0))
+    xd = slice(max(-dx, 0), W + min(-dx, 0))
+    return out.at[yd, xd].set(x[ys, xs])
+
+
+@functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
+def _front(image, out_h: int, out_w: int):
+    """Blur/scale + gradient field."""
+    prec = math.pi * ANG_TH / 180.0
+    rho = QUANT / math.sin(prec)
+    img = _blur_and_scale(image, out_h, out_w)
+    return _gradient_field(img, rho)
+
+
+@jax.jit
+def _cc_and_stats(norm, angle, defined, prec_map):
+    """CC + per-component moment statistics.  Returns (stats, flat labels)."""
+    label = _connected_components(angle, defined, prec_map)
+
+    H, W = angle.shape
+    NB = H * W
+    flat_label = label.reshape(-1)
+    dflat = defined.reshape(-1)
+    w = jnp.where(defined, norm, 0.0).reshape(-1)
+    ys = jnp.broadcast_to(jnp.arange(H, dtype=jnp.float32)[:, None],
+                          (H, W)).reshape(-1)
+    xs = jnp.broadcast_to(jnp.arange(W, dtype=jnp.float32)[None, :],
+                          (H, W)).reshape(-1)
+    ca = jnp.cos(angle).reshape(-1)
+    sa = jnp.sin(angle).reshape(-1)
+
+    seg = functools.partial(jax.ops.segment_sum, num_segments=NB,
+                            indices_are_sorted=False)
+    lab = jnp.minimum(flat_label, NB - 1)
+    stats = dict(
+        count=seg(dflat.astype(jnp.float32), lab),
+        sw=seg(w, lab),
+        swx=seg(w * xs, lab),
+        swy=seg(w * ys, lab),
+        swxx=seg(w * xs * xs, lab),
+        swyy=seg(w * ys * ys, lab),
+        swxy=seg(w * xs * ys, lab),
+        sca=seg(jnp.where(dflat, ca, 0.0), lab),
+        ssa=seg(jnp.where(dflat, sa, 0.0), lab),
+    )
+    return stats, flat_label, xs, ys, dflat
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _region_extents(xs, ys, flat_label, defined, cx, cy, dx, dy, nb):
+    """Second pass: per-pixel projections onto each component's axis,
+    reduced to per-component extents (region2rect, lsd_opencv.cpp:810-826)."""
+    NB = nb.shape[0]
+    lab = jnp.minimum(flat_label, NB - 1)
+    rx = xs - cx[lab]
+    ry = ys - cy[lab]
+    l = rx * dx[lab] + ry * dy[lab]
+    wd = -rx * dy[lab] + ry * dx[lab]
+    big = jnp.float32(1e9)
+    l_min = jax.ops.segment_min(jnp.where(defined, l, big), lab,
+                                num_segments=NB)
+    l_max = jax.ops.segment_max(jnp.where(defined, l, -big), lab,
+                                num_segments=NB)
+    wd_min = jax.ops.segment_min(jnp.where(defined, wd, big), lab,
+                                 num_segments=NB)
+    wd_max = jax.ops.segment_max(jnp.where(defined, wd, -big), lab,
+                                 num_segments=NB)
+    return l_min, l_max, wd_min, wd_max
+
+
+def _nfa_log10(n: np.ndarray, k: np.ndarray, p: float,
+               log_nt: float) -> np.ndarray:
+    """-log10 binomial tail - LOG_NT (nfa, lsd_opencv.cpp:1198-1234),
+    vectorized on host with gammaln."""
+    from scipy.special import gammaln
+    n = np.asarray(n, np.float64)
+    k = np.asarray(k, np.float64)
+    k = np.minimum(k, n)
+    out = np.full(n.shape, -log_nt)
+    # general case via normal/series: sum_{i=k}^{n} C(n,i) p^i (1-p)^(n-i)
+    # computed with a stable log-sum over at most 64 terms (the tail decays
+    # geometrically for p ~ 0.125 and k >> n p)
+    terms = 64
+    i = k[:, None] + np.arange(terms)[None, :]
+    valid = i <= n[:, None]
+    i = np.minimum(i, n[:, None])
+    logC = (gammaln(n[:, None] + 1) - gammaln(i + 1) -
+            gammaln(n[:, None] - i + 1))
+    logterm = logC + i * np.log(p) + (n[:, None] - i) * np.log1p(-p)
+    logterm = np.where(valid, logterm, -np.inf)
+    m = logterm.max(axis=1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        logtail = m + np.log(np.sum(np.exp(logterm - m[:, None]), axis=1))
+    logtail = np.where(np.isfinite(m), logtail, -np.inf)
+    res = -logtail / np.log(10.0) - log_nt
+    res = np.where(n <= 0, -log_nt, res)
+    res = np.where(k <= 0, -log_nt, res)
+    exact = -log_nt - n * np.log10(p)
+    res = np.where(k >= n, exact, res)
+    return res
+
+
+def _fit_components(stats, xs, ys, flat_label, defined, prec):
+    """Rectangle fits for every component (host): centroid, inertia axis,
+    extents, density, circular angle std (region2rect/get_theta,
+    lsd_opencv.cpp:788-882)."""
+    count = np.asarray(stats["count"])
+    sw = np.asarray(stats["sw"])
+    nb = count.shape[0]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cx = np.where(sw > 0, np.asarray(stats["swx"]) / sw, 0)
+        cy = np.where(sw > 0, np.asarray(stats["swy"]) / sw, 0)
+    Ixx = np.asarray(stats["swyy"]) - 2 * cy * np.asarray(stats["swy"]) + \
+        cy * cy * sw
+    Iyy = np.asarray(stats["swxx"]) - 2 * cx * np.asarray(stats["swx"]) + \
+        cx * cx * sw
+    Ixy = -(np.asarray(stats["swxy"]) - cx * np.asarray(stats["swy"]) -
+            cy * np.asarray(stats["swx"]) + cx * cy * sw)
+    lam = 0.5 * (Ixx + Iyy - np.sqrt((Ixx - Iyy) ** 2 + 4.0 * Ixy ** 2))
+    theta = np.where(np.abs(Ixx) > np.abs(Iyy),
+                     np.arctan2(lam - Ixx, Ixy),
+                     np.arctan2(Ixy, lam - Iyy))
+    reg_angle = np.arctan2(np.asarray(stats["ssa"]), np.asarray(stats["sca"]))
+    d = np.abs(np.mod(theta - reg_angle + np.pi, 2 * np.pi) - np.pi)
+    theta = np.where(d > prec, theta + np.pi, theta)
+
+    dx = np.cos(theta).astype(np.float32)
+    dy = np.sin(theta).astype(np.float32)
+
+    l_min, l_max, wd_min, wd_max = [np.asarray(a) for a in _region_extents(
+        xs, ys, flat_label, defined,
+        jnp.asarray(cx, jnp.float32), jnp.asarray(cy, jnp.float32),
+        jnp.asarray(dx), jnp.asarray(dy), jnp.zeros(nb))]
+
+    length = l_max - l_min
+    width = np.maximum(wd_max - wd_min, 1.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        density = np.where(length * width > 0, count / (length * width), 0)
+        # circular std of member gradient angles -> refine tolerance
+        R = np.sqrt(np.asarray(stats["sca"]) ** 2 +
+                    np.asarray(stats["ssa"]) ** 2) / np.maximum(count, 1)
+    R = np.clip(R, 1e-6, 1.0 - 1e-9)
+    ang_std = np.sqrt(-2.0 * np.log(R))
+    return dict(count=count, sw=sw, cx=cx, cy=cy, dx=dx, dy=dy,
+                l_min=l_min, l_max=l_max, length=length, width=width,
+                density=density, ang_std=ang_std)
+
+
+def detect(image_gray: np.ndarray) -> np.ndarray:
+    """Run vectorized LSD on a float grayscale image.
+
+    Returns [N, 5] array: (x1, y1, x2, y2, log_nfa) in input pixel coords.
+
+    Two passes: a full CC at prec = 22.5 deg, then a refinement CC over the
+    pixels of low-density components with a tightened per-component
+    tolerance tau = 2 * circular angle std — the data-parallel analogue of
+    LSD's refine() (lsd_opencv.cpp:884-930), which separates near-parallel
+    crossing lines that single-linkage merges.
+    """
+    H, W = image_gray.shape
+    out_h = int(math.ceil(H * SCALE))
+    out_w = int(math.ceil(W * SCALE))
+
+    prec = math.pi * ANG_TH / 180.0
+    p = ANG_TH / 180.0
+    log_nt = 5.0 * (math.log10(out_w) + math.log10(out_h)) / 2.0 + \
+        math.log10(11.0)
+    min_reg_size = int(-log_nt / math.log10(p))
+
+    norm, angle, defined = _front(jnp.asarray(image_gray, jnp.float32),
+                                  out_h, out_w)
+
+    stats, flat_label, xs, ys, dflat = _cc_and_stats(
+        norm, angle, defined, jnp.float32(prec))
+    fit1 = _fit_components(stats, xs, ys, flat_label, dflat, prec)
+
+    big_enough = fit1["count"] >= min_reg_size
+    good1 = big_enough & (fit1["density"] >= DENSITY_TH)
+    failing = big_enough & (fit1["density"] < DENSITY_TH)
+
+    cands = [(fit1, np.nonzero(good1)[0])]
+
+    # tolerance-halving ladder over still-failing components — the
+    # data-parallel analogue of LSD's p/2 refinement ladder
+    # (rect_improve, lsd_opencv.cpp:983-993): anti-aliased crossings chain
+    # different lines through intermediate gradient angles; halving the
+    # pairwise gate breaks the chains.
+    Hh, Ww = np.asarray(angle).shape
+    cur_fail = failing
+    cur_label = np.asarray(flat_label)
+    tol = prec
+    for _ in range(3):
+        if not cur_fail.any():
+            break
+        tol = tol / 2.0
+        lab_clip = np.minimum(cur_label, Hh * Ww - 1)
+        pix_in = cur_fail[lab_clip] & np.asarray(dflat)
+        defined_k = jnp.asarray(pix_in.reshape(Hh, Ww))
+        stats_k, flat_label_k, _, _, dflat_k = _cc_and_stats(
+            norm, angle, defined_k, jnp.float32(tol))
+        fit_k = _fit_components(stats_k, xs, ys, flat_label_k, dflat_k, prec)
+        big_k = fit_k["count"] >= min_reg_size
+        good_k = big_k & (fit_k["density"] >= DENSITY_TH)
+        cands.append((fit_k, np.nonzero(good_k)[0]))
+        cur_fail = big_k & (fit_k["density"] < DENSITY_TH)
+        cur_label = np.asarray(flat_label_k)
+
+    out = []
+    for fit, ids in cands:
+        if len(ids) == 0:
+            continue
+        n_pix = np.ceil(fit["length"][ids]) * np.ceil(fit["width"][ids])
+        log_nfa = _nfa_log10(n_pix, fit["count"][ids], p, log_nt)
+        keep = log_nfa > LOG_EPS
+        ids = ids[keep]
+        log_nfa = log_nfa[keep]
+        x1 = fit["cx"][ids] + fit["l_min"][ids] * fit["dx"][ids] + 0.5
+        y1 = fit["cy"][ids] + fit["l_min"][ids] * fit["dy"][ids] + 0.5
+        x2 = fit["cx"][ids] + fit["l_max"][ids] * fit["dx"][ids] + 0.5
+        y2 = fit["cy"][ids] + fit["l_max"][ids] * fit["dy"][ids] + 0.5
+        inv = 1.0 / SCALE
+        out.append(np.stack([x1 * inv, y1 * inv, x2 * inv, y2 * inv,
+                             log_nfa], axis=1).astype(np.float32))
+    if not out:
+        return np.zeros((0, 5), np.float32)
+    return np.concatenate(out, axis=0)

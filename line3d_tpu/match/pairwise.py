@@ -26,20 +26,16 @@ import jax.numpy as jnp
 from ..core import geometry as g
 
 
-def match_pair_dense(segs_src, segs_tgt, mask_src, mask_tgt,
-                     F, RtKinv_src, RtKinv_tgt, C_src, C_tgt,
-                     min_overlap_lower=0.10, min_overlap_upper=0.30):
-    """Dense pair matching for one (src, tgt) view pair.
+def match_pair_dense_reference(segs_src, segs_tgt, mask_src, mask_tgt,
+                               F, RtKinv_src, RtKinv_tgt, C_src, C_tgt,
+                               min_overlap_lower=0.10,
+                               min_overlap_upper=0.30):
+    """Readable array-of-structs formulation built from core.geometry.
 
-    Args:
-      segs_src: [Ss, 4], segs_tgt: [St, 4] float32 segment endpoints.
-      mask_src: [Ss], mask_tgt: [St] bool validity.
-      F: [3, 3] fundamental (src -> tgt epipolar lines).
-      RtKinv_src / RtKinv_tgt: [3, 3]; C_src / C_tgt: [3].
-
-    Returns:
-      depths: [Ss, St, 4] float32 = (d_src_p1, d_src_p2, d_tgt_q1, d_tgt_q2)
-      valid:  [Ss, St] bool
+    Used as the semantic reference in tests; the production kernel below is
+    the structure-of-arrays rewrite (identical math, TPU-friendly layout:
+    [S, S, 3] tensors would pad their minor dim 3 to the 128-lane tile, a
+    ~40x memory/compute blowup).
     """
     p1, p2 = g.seg_endpoints(segs_src)            # [Ss, 3]
     q1, q2 = g.seg_endpoints(segs_tgt)            # [St, 3]
@@ -87,6 +83,149 @@ def match_pair_dense(segs_src, segs_tgt, mask_src, mask_tgt,
     return depths, valid
 
 
+EPS = g.EPS
+
+
+def _overlap_soa(ax, ay, bx, by, cx, cy, dx, dy):
+    """segment_overlap_2d on component planes: overlap of segment (c,d) with
+    segment (a,b), all collinear.  Every operand broadcasts to [Ss, St]."""
+    len_ab = jnp.sqrt((ax - bx) ** 2 + (ay - by) ** 2)
+    len_cd = jnp.sqrt((cx - dx) ** 2 + (cy - dy) ** 2)
+
+    on = lambda px, py, qx, qy, rx, ry: \
+        (px - rx) * (qx - rx) + (py - ry) * (qy - ry) < EPS
+    c_in = on(ax, ay, bx, by, cx, cy)
+    d_in = on(ax, ay, bx, by, dx, dy)
+    a_in = on(cx, cy, dx, dy, ax, ay)
+    b_in = on(cx, cy, dx, dy, bx, by)
+
+    dist = lambda ux, uy, vx, vy: jnp.sqrt((ux - vx) ** 2 + (uy - vy) ** 2)
+    safe = lambda x: jnp.maximum(x, EPS)
+
+    c1 = len_cd / safe(len_ab)
+    c2 = len_ab / safe(len_cd)
+    l31 = dist(bx, by, dx, dy)
+    l32 = dist(ax, ay, dx, dy)
+    c3 = jnp.where(a_in & (l31 > EPS), dist(cx, cy, ax, ay) / safe(l31),
+                   jnp.where(l32 > EPS, dist(cx, cy, bx, by) / safe(l32), 0.0))
+    l41 = dist(ax, ay, cx, cy)
+    l42 = dist(bx, by, cx, cy)
+    c4 = jnp.where(b_in & (l41 > EPS), dist(dx, dy, bx, by) / safe(l41),
+                   jnp.where(l42 > EPS, dist(dx, dy, ax, ay) / safe(l42), 0.0))
+
+    ov = jnp.where(c_in & d_in, c1,
+                   jnp.where(a_in & b_in, c2,
+                             jnp.where(c_in, c3,
+                                       jnp.where(d_in, c4, 0.0))))
+    return jnp.where((len_ab < 1.0) | (len_cd < 1.0), 0.0, ov)
+
+
+def match_pair_dense(segs_src, segs_tgt, mask_src, mask_tgt,
+                     F, RtKinv_src, RtKinv_tgt, C_src, C_tgt,
+                     min_overlap_lower=0.10, min_overlap_upper=0.30):
+    """Dense pair matching for one (src, tgt) view pair — SoA layout.
+
+    Args:
+      segs_src: [Ss, 4], segs_tgt: [St, 4] float32 segment endpoints.
+      mask_src: [Ss], mask_tgt: [St] bool validity.
+      F: [3, 3] fundamental (src -> tgt epipolar lines).
+      RtKinv_src / RtKinv_tgt: [3, 3]; C_src / C_tgt: [3].
+
+    Returns:
+      depths: tuple of 4 planes [Ss, St] float32
+              (d_src_p1, d_src_p2, d_tgt_q1, d_tgt_q2)
+      valid:  [Ss, St] bool
+    """
+    f32 = jnp.float32
+    # per-src-segment scalars, broadcast down columns: [Ss, 1]
+    p1x = segs_src[:, 0:1]; p1y = segs_src[:, 1:2]
+    p2x = segs_src[:, 2:3]; p2y = segs_src[:, 3:4]
+    # per-tgt-segment scalars, broadcast across rows: [1, St]
+    q1x = segs_tgt[None, :, 0]; q1y = segs_tgt[None, :, 1]
+    q2x = segs_tgt[None, :, 2]; q2y = segs_tgt[None, :, 3]
+
+    # 2D supporting lines: cross((x1,y1,1),(x2,y2,1))
+    l1a = p1y - p2y; l1b = p2x - p1x; l1c = p1x * p2y - p1y * p2x  # [Ss,1]
+    l2a = q1y - q2y; l2b = q2x - q1x; l2c = q1x * q2y - q1y * q2x  # [1,St]
+
+    # epipolar lines: F @ (x, y, 1) per src endpoint; F^T @ q per tgt
+    def Fline(M, x, y):
+        return (M[0, 0] * x + M[0, 1] * y + M[0, 2],
+                M[1, 0] * x + M[1, 1] * y + M[1, 2],
+                M[2, 0] * x + M[2, 1] * y + M[2, 2])
+    e1a, e1b, e1c = Fline(F, p1x, p1y)       # epi of p1 in tgt view [Ss,1]
+    e2a, e2b, e2c = Fline(F, p2x, p2y)
+    Ft = F.T
+    f1a, f1b, f1c = Fline(Ft, q1x, q1y)      # epi of q1 in src view [1,St]
+    f2a, f2b, f2c = Fline(Ft, q2x, q2y)
+
+    def intersect(la, lb, lc, ma, mb, mc):
+        """cross(line l, line m) -> homogeneous point, normalized to z=1."""
+        ix = lb * mc - lc * mb
+        iy = lc * ma - la * mc
+        iz = la * mb - lb * ma
+        ok = jnp.abs(iz) > EPS
+        zs = jnp.where(ok, iz, 1.0)
+        return jnp.where(ok, ix / zs, 0.0), jnp.where(ok, iy / zs, 0.0), ok
+
+    # epipolar transfer points (cudawrapper.cu:570-573): [Ss, St] planes
+    a1x, a1y, ok1 = intersect(l2a, l2b, l2c, e1a, e1b, e1c)  # l2_p1
+    a2x, a2y, ok2 = intersect(l2a, l2b, l2c, e2a, e2b, e2c)  # l2_p2
+    b1x, b1y, ok3 = intersect(l1a, l1b, l1c, f1a, f1b, f1c)  # l1_q1
+    b2x, b2y, ok4 = intersect(l1a, l1b, l1c, f2a, f2b, f2c)  # l1_q2
+    inter_ok = ok1 & ok2 & ok3 & ok4
+
+    # overlap gate (cudawrapper.cu:584-588)
+    ov1 = _overlap_soa(p1x, p1y, p2x, p2y, b1x, b1y, b2x, b2y)
+    ov2 = _overlap_soa(q1x, q1y, q2x, q2y, a1x, a1y, a2x, a2y)
+    ov_ok = (jnp.minimum(ov1, ov2) > min_overlap_lower) & \
+            (jnp.maximum(ov1, ov2) > min_overlap_upper)
+
+    # viewing rays.  src endpoints: per-row 3-vectors; transfer points:
+    # component planes through the OTHER view's RtKinv.
+    def ray_fixed(M, x, y):
+        rx = M[0, 0] * x + M[0, 1] * y + M[0, 2]
+        ry = M[1, 0] * x + M[1, 1] * y + M[1, 2]
+        rz = M[2, 0] * x + M[2, 1] * y + M[2, 2]
+        inv = jax.lax.rsqrt(jnp.maximum(rx * rx + ry * ry + rz * rz, EPS))
+        return rx * inv, ry * inv, rz * inv
+
+    def tri(r1, r2, w0):
+        """two-ray depths (cudawrapper.cu:306-335); rays normalized."""
+        a = r1[0] * r1[0] + r1[1] * r1[1] + r1[2] * r1[2]
+        b = r1[0] * r2[0] + r1[1] * r2[1] + r1[2] * r2[2]
+        c = r2[0] * r2[0] + r2[1] * r2[1] + r2[2] * r2[2]
+        d = r1[0] * w0[0] + r1[1] * w0[1] + r1[2] * w0[2]
+        e = r2[0] * w0[0] + r2[1] * w0[1] + r2[2] * w0[2]
+        denom = a * c - b * b
+        ok = jnp.abs(denom) > EPS
+        zs = jnp.where(ok, denom, 1.0)
+        d1 = jnp.where(ok, (b * e - c * d) / zs, -1.0)
+        d2 = jnp.where(ok, (a * e - b * d) / zs, -1.0)
+        return d1, d2, ok
+
+    w0 = (C_src[0] - C_tgt[0], C_src[1] - C_tgt[1], C_src[2] - C_tgt[2])
+
+    ray_p1 = ray_fixed(RtKinv_src, p1x, p1y)     # [Ss,1] components
+    ray_p2 = ray_fixed(RtKinv_src, p2x, p2y)
+    ray_q1 = ray_fixed(RtKinv_tgt, q1x, q1y)     # [1,St]
+    ray_q2 = ray_fixed(RtKinv_tgt, q2x, q2y)
+    ray_a1 = ray_fixed(RtKinv_tgt, a1x, a1y)     # [Ss,St]
+    ray_a2 = ray_fixed(RtKinv_tgt, a2x, a2y)
+    ray_b1 = ray_fixed(RtKinv_src, b1x, b1y)
+    ray_b2 = ray_fixed(RtKinv_src, b2x, b2y)
+
+    d_p1, _, t1 = tri(ray_p1, ray_a1, w0)        # src depth at p1
+    d_p2, _, t2 = tri(ray_p2, ray_a2, w0)
+    _, d_q1, t3 = tri(ray_b1, ray_q1, w0)        # tgt depth at q1
+    _, d_q2, t4 = tri(ray_b2, ray_q2, w0)
+
+    pos = (d_p1 > 0.0) & (d_p2 > 0.0) & (d_q1 > 0.0) & (d_q2 > 0.0)
+    valid = (inter_ok & ov_ok & pos & t1 & t2 & t3 & t4 &
+             mask_src[:, None] & mask_tgt[None, :])
+    return (d_p1, d_p2, d_q1, d_q2), valid
+
+
 def compact_rows(depths, valid, m_cap):
     """Compact a dense [Ss, St] match grid into per-row fixed-width tables.
 
@@ -103,7 +242,11 @@ def compact_rows(depths, valid, m_cap):
     m_cap = min(m_cap, valid.shape[1])
     _, idx = jax.lax.top_k(key, m_cap)                 # stable: low idx first
     kept_valid = jnp.take_along_axis(valid, idx, axis=1)
-    depths_g = jnp.take_along_axis(depths, idx[:, :, None], axis=1)
+    if isinstance(depths, tuple):
+        planes = [jnp.take_along_axis(d, idx, axis=1) for d in depths]
+        depths_g = jnp.stack(planes, axis=-1)          # [Ss, m_cap, 4]
+    else:
+        depths_g = jnp.take_along_axis(depths, idx[:, :, None], axis=1)
     tgt_idx = jnp.where(kept_valid, idx, -1).astype(jnp.int32)
     return tgt_idx, depths_g, kept_valid, n_valid
 

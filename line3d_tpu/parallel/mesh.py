@@ -1,0 +1,31 @@
+"""Device-mesh helpers for multi-chip / multi-host execution.
+
+The reference is single-process single-GPU (SURVEY.md §2); the TPU build's
+scaling axis is #views x #segments: views are sharded over a 1-D "views"
+mesh axis (data parallel over ICI/DCN), each device matching its view shard
+against replicated neighbor data.  Collectives are inserted by XLA from the
+shardings; nothing here talks to hardware directly.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_view_mesh(devices=None, axis: str = "views") -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.array(devices), (axis,))
+
+
+def pad_views_to_mesh(num_views: int, mesh: Mesh, axis: str = "views") -> int:
+    """Views must be divisible by the mesh size for even sharding."""
+    n = mesh.shape[axis]
+    return ((num_views + n - 1) // n) * n
+
+
+def shard_leading(mesh: Mesh, x, axis: str = "views"):
+    """Place an array with its leading dim sharded over `axis`."""
+    spec = P(axis, *([None] * (np.ndim(x) - 1)))
+    return jax.device_put(x, NamedSharding(mesh, spec))

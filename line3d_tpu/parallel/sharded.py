@@ -1,0 +1,189 @@
+"""Sharded (multi-chip) matching: all views matched in one pjit'd program
+over a 1-D "views" mesh.
+
+Layout: every per-view quantity is stacked on a leading V axis and sharded
+over the mesh; neighbor data (segments, cameras of each view's visual
+neighbors) is gathered host-side into [V, N, ...] stacks so each device works
+purely on its view shard — the TPU analogue of the reference's per-view
+sequential loop + texture broadcast (SURVEY.md §2 parallelism inventory).
+
+Inside each shard the views run through jax.lax.map (bounded memory), and
+each view reuses the same fused pairwise-match + scoring step as the
+single-chip engine.  Outputs are compacted on device: per-segment best match
+fields plus a fixed-capacity export of verified matches (the clustering
+input), so device->host traffic is O(verified matches), not O(S x M).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..config import L3DConfig
+from ..core.cameras import CameraSet
+from ..scene import Scene
+from ..match import pairwise, scoring
+from . import mesh as mesh_mod
+
+
+def _single_view_step(args, m_pair, m_total, row_chunk, conf_t,
+                      sigma_p, sigma_a, k_export):
+    (segs_src, mask_src, RtKinv_src, C_src,
+     segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, P_nb, nb_mask,
+     spatial_k, view_active) = args
+
+    res = pairwise.match_view_against_neighbors(
+        segs_src, mask_src & view_active, RtKinv_src, C_src,
+        segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, nb_mask, m_pair)
+
+    N, S, mp = res["tgt_idx"].shape
+    cam_full = jnp.broadcast_to(
+        jnp.arange(N, dtype=jnp.int32)[:, None, None], (N, S, mp))
+    cam_full = jnp.transpose(cam_full, (1, 0, 2)).reshape(S, N * mp)
+    tgt_full = jnp.transpose(res["tgt_idx"], (1, 0, 2)).reshape(S, N * mp)
+    depths_full = jnp.transpose(res["depths"], (1, 0, 2, 3)).reshape(S, N * mp, 4)
+    valid_full = jnp.transpose(res["valid"], (1, 0, 2)).reshape(S, N * mp)
+
+    m_total = min(m_total, N * mp)
+    _, sel = jax.lax.top_k(valid_full.astype(jnp.int32), m_total)
+    valid = jnp.take_along_axis(valid_full, sel, axis=1)
+    cam = jnp.where(valid, jnp.take_along_axis(cam_full, sel, axis=1), -1)
+    tgt = jnp.where(valid, jnp.take_along_axis(tgt_full, sel, axis=1), -1)
+    depths = jnp.take_along_axis(depths_full, sel[:, :, None], axis=1)
+
+    conf = scoring.score_matches(
+        segs_src, mask_src, RtKinv_src, C_src,
+        cam, tgt, depths, valid, P_nb, segs_nb,
+        sigma_p, sigma_a, spatial_k, row_chunk=row_chunk)
+
+    # --- device-side selection -----------------------------------------
+    keep = valid & (conf > conf_t)
+    # per-segment best (greedySelection)
+    conf_keyed = jnp.where(keep, conf, -jnp.inf)
+    best_m = jnp.argmax(conf_keyed, axis=1)
+    take = lambda a: jnp.take_along_axis(a, best_m[:, None], axis=1)[:, 0]
+    best = dict(
+        conf=take(conf), cam=take(cam), tgt=take(tgt),
+        has=take(keep),
+        d=jnp.take_along_axis(depths, best_m[:, None, None], axis=1)[:, 0])
+
+    # median-depth inputs (cudawrapper.cu:1025-1076): per-seg raw argmax
+    raw_keyed = jnp.where(valid, conf, -jnp.inf)
+    raw_m = jnp.argmax(raw_keyed, axis=1)
+    raw_max = jnp.take_along_axis(raw_keyed, raw_m[:, None], axis=1)[:, 0]
+    raw_d = jnp.take_along_axis(depths, raw_m[:, None, None], axis=1)[:, 0, :2]
+
+    # fixed-capacity export of verified matches for clustering
+    S_, M_ = keep.shape
+    flat_keep = keep.reshape(S_ * M_)
+    k_export = min(k_export, S_ * M_)
+    _, exp_sel = jax.lax.top_k(flat_keep.astype(jnp.int32), k_export)
+    exp_valid = jnp.take_along_axis(flat_keep, exp_sel, axis=0)
+    exp_src = (exp_sel // M_).astype(jnp.int32)
+    exp_cam = jnp.take_along_axis(cam.reshape(-1), exp_sel, axis=0)
+    exp_tgt = jnp.take_along_axis(tgt.reshape(-1), exp_sel, axis=0)
+    exp_conf = jnp.take_along_axis(conf.reshape(-1), exp_sel, axis=0)
+    n_verified = jnp.sum(flat_keep)
+
+    return dict(best_conf=best["conf"], best_cam=best["cam"],
+                best_tgt=best["tgt"], best_has=best["has"],
+                best_depths=best["d"],
+                raw_max=raw_max, raw_depths=raw_d,
+                exp_src=jnp.where(exp_valid, exp_src, -1),
+                exp_cam=jnp.where(exp_valid, exp_cam, -1),
+                exp_tgt=jnp.where(exp_valid, exp_tgt, -1),
+                exp_conf=jnp.where(exp_valid, exp_conf, 0.0),
+                n_verified=n_verified,
+                overflow=res["overflow"].sum())
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("m_pair", "m_total", "row_chunk",
+                                    "k_export", "mesh", "axis"))
+def sharded_match_all_views(stacks, sigma_p, sigma_a, conf_t,
+                            m_pair, m_total, row_chunk, k_export,
+                            mesh, axis="views"):
+    """Match every view against its neighbor stack, sharded over `mesh`.
+
+    `stacks` is a dict of [V, ...] arrays (see build_stacks).  V must be a
+    multiple of the mesh size.  Returns [V, ...] outputs with the same
+    sharding.
+    """
+    specs = {k: P(axis, *([None] * (v.ndim - 1))) for k, v in stacks.items()}
+    sharded = {k: jax.lax.with_sharding_constraint(
+        v, NamedSharding(mesh, specs[k])) for k, v in stacks.items()}
+
+    def per_view(args):
+        ordered = (args["segs"], args["mask"], args["RtKinv"], args["C"],
+                   args["segs_nb"], args["mask_nb"], args["F_nb"],
+                   args["RtKinv_nb"], args["C_nb"], args["P_nb"],
+                   args["nb_mask"], args["spatial_k"], args["view_active"])
+        return _single_view_step(ordered, m_pair, m_total, row_chunk,
+                                 conf_t, sigma_p, sigma_a, k_export)
+
+    out = jax.lax.map(per_view, sharded)
+    out = {k: jax.lax.with_sharding_constraint(
+        v, NamedSharding(mesh, P(axis, *([None] * (v.ndim - 1)))))
+        for k, v in out.items()}
+    return out
+
+
+def build_stacks(scene: Scene, cameras: CameraSet, neighbors: list,
+                 config: L3DConfig, num_pad_views: int | None = None):
+    """Host-side assembly of the [V, ...] input stacks."""
+    V = scene.num_views
+    Vp = num_pad_views or V
+    S = scene.max_segments
+    n_max = max((len(n) for n in neighbors), default=1)
+    n_max = max(n_max, 1)
+
+    segs = np.zeros((Vp, S, 4), np.float32)
+    mask = np.zeros((Vp, S), bool)
+    segs[:V] = scene.segments
+    mask[:V] = scene.seg_mask
+
+    RtKinv = np.zeros((Vp, 3, 3), np.float32)
+    C = np.zeros((Vp, 3), np.float32)
+    RtKinv[:V] = cameras.f32("RtKinv")
+    C[:V] = cameras.f32("C")
+
+    segs_nb = np.zeros((Vp, n_max, S, 4), np.float32)
+    mask_nb = np.zeros((Vp, n_max, S), bool)
+    F_nb = np.zeros((Vp, n_max, 3, 3), np.float32)
+    RtKinv_nb = np.zeros((Vp, n_max, 3, 3), np.float32)
+    C_nb = np.zeros((Vp, n_max, 3), np.float32)
+    P_nb = np.zeros((Vp, n_max, 3, 4), np.float32)
+    nb_mask = np.zeros((Vp, n_max), bool)
+    nb_ids = np.full((Vp, n_max), -1, np.int32)
+    view_active = np.zeros(Vp, bool)
+
+    P32 = cameras.f32("P")
+    spatial_k = np.zeros(Vp, np.float32)
+    sk = cameras.spatial_uncertainty_k(2.0 * config.sigma_p)
+
+    for v in range(V):
+        nb = np.asarray(neighbors[v], np.int64)
+        if len(nb) == 0:
+            continue
+        view_active[v] = True
+        spatial_k[v] = sk[v]
+        k = len(nb)
+        nb_ids[v, :k] = nb
+        nb_mask[v, :k] = True
+        segs_nb[v, :k] = scene.segments[nb]
+        mask_nb[v, :k] = scene.seg_mask[nb]
+        F_nb[v, :k] = cameras.fundamentals_for_pairs(
+            np.stack([np.full(k, v), nb], axis=1)).astype(np.float32)
+        RtKinv_nb[v, :k] = cameras.RtKinv[nb].astype(np.float32)
+        C_nb[v, :k] = cameras.C[nb].astype(np.float32)
+        P_nb[v, :k] = P32[nb]
+
+    stacks = dict(segs=segs, mask=mask, RtKinv=RtKinv, C=C,
+                  segs_nb=segs_nb, mask_nb=mask_nb, F_nb=F_nb,
+                  RtKinv_nb=RtKinv_nb, C_nb=C_nb, P_nb=P_nb,
+                  nb_mask=nb_mask, spatial_k=spatial_k,
+                  view_active=view_active)
+    return stacks, nb_ids

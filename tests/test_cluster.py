@@ -1,0 +1,118 @@
+"""Clustering-stage tests: F-H semantics (native vs python), diffusion."""
+import numpy as np
+
+from line3d_tpu.cluster import fh, diffusion
+from line3d_tpu.native import load as native_load
+
+
+def random_graph(n, e, seed):
+    rng = np.random.default_rng(seed)
+    i = rng.integers(0, n, e).astype(np.int64)
+    j = rng.integers(0, n, e).astype(np.int64)
+    keep = i != j
+    i, j = i[keep], j[keep]
+    w = rng.uniform(0.0, 1.0, len(i))
+    return i, j, w
+
+
+def canon(labels):
+    """Canonical partition: map labels to first-occurrence ids."""
+    seen = {}
+    out = np.empty(len(labels), np.int64)
+    for k, l in enumerate(labels):
+        out[k] = seen.setdefault(int(l), len(seen))
+    return out
+
+
+def test_fh_native_matches_python():
+    if native_load.get_lib() is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    for seed in range(5):
+        i, j, w = random_graph(50, 300, seed)
+        lp = fh.fh_cluster_python(i, j, w, 50, 1.0)
+        ln = fh.fh_cluster(i, j, w, 50, 1.0)
+        np.testing.assert_array_equal(canon(lp), canon(ln))
+
+
+def test_fh_merge_semantics():
+    # chain 0-1-2 with increasing weights and c=1:
+    # edge (0,1,w=0.2): thr=1 both -> join, new thr = 0.2 + 1/2 = 0.7
+    # edge (1,2,w=0.5): thr[root01]=0.7, thr[2]=1 -> 0.5 <= both -> join
+    # edge (3,4,w=0.9): join (thr 1).  edge (2,3,w=0.95): thr[root012]=
+    #   0.5+1/3=0.833 -> 0.95 > 0.833 -> NO join
+    i = np.array([0, 1, 3, 2], np.int64)
+    j = np.array([1, 2, 4, 3], np.int64)
+    w = np.array([0.2, 0.5, 0.9, 0.95])
+    labels = canon(fh.fh_cluster_python(i, j, w, 5, 1.0))
+    assert labels[0] == labels[1] == labels[2]
+    assert labels[3] == labels[4]
+    assert labels[0] != labels[3]
+
+
+def test_fh_stable_tie_order():
+    # two equal-weight edges: emission order decides which merges first;
+    # with c small enough only one merge happens
+    i = np.array([0, 1], np.int64)
+    j = np.array([1, 2], np.int64)
+    w = np.array([0.6, 0.6])
+    labels = canon(fh.fh_cluster_python(i, j, w, 3, 1.0))
+    # both joins pass here (thresholds allow), ending in one cluster
+    assert labels[0] == labels[1] == labels[2]
+    # with c = 0.65: first join -> thr = 0.6+0.65/2 = 0.925, second edge w
+    # 0.6 <= 0.925 and <= 0.65 -> joins too; with c = 0.55 second join is
+    # blocked only via threshold[b]... construct blocking case:
+    labels = canon(fh.fh_cluster_python(
+        np.array([0, 1], np.int64), np.array([1, 2], np.int64),
+        np.array([0.5, 0.8]), 3, 0.6))
+    # second edge: thr[root01] = 0.5 + 0.6/2 = 0.8 -> 0.8 <= 0.8 joins;
+    # thr[2] = 0.6 -> 0.8 > 0.6 -> blocked
+    assert labels[0] == labels[1] != labels[2]
+
+
+def _sym_edges():
+    # small symmetric affinity graph (both directions, as the pipeline emits)
+    base = [(0, 1, 0.9), (1, 2, 0.8), (2, 3, 0.7), (0, 2, 0.5)]
+    i, j, w = [], [], []
+    for a, b, x in base:
+        i += [a, b]; j += [b, a]; w += [x, x]
+    return (np.array(i, np.int64), np.array(j, np.int64),
+            np.array(w, np.float64))
+
+
+def test_diffusion_reference_properties():
+    i, j, w = _sym_edges()
+    oi, oj, ow = diffusion.diffuse_reference(i, j, w, 4, iterations=3)
+    # pattern preserved, symmetric output, sorted by (i, j)
+    assert len(ow) == len(w)
+    assert np.all(np.diff(oi) >= 0)
+    m = {}
+    for a, b, x in zip(oi, oj, ow):
+        m[(int(a), int(b))] = float(x)
+    for (a, b), x in m.items():
+        assert np.isclose(m[(b, a)], x), "not symmetric"
+    assert np.all(ow >= 0)
+
+
+def test_diffusion_true_properties():
+    i, j, w = _sym_edges()
+    oi, oj, ow = diffusion.diffuse_true(i, j, w, 4, iterations=3)
+    assert len(ow) == len(w)
+    m = {(int(a), int(b)): float(x) for a, b, x in zip(oi, oj, ow)}
+    for (a, b), x in m.items():
+        assert np.isclose(m[(b, a)], x)
+
+
+def test_diffusion_strengthens_consistent_edges():
+    """RDD should relatively strengthen edges inside a dense clique vs a
+    weak bridge (the reason the reference offers it, README.txt:138-146)."""
+    # clique {0,1,2} strong, bridge (2,3) weak, pendant (3,4)
+    base = [(0, 1, 0.9), (1, 2, 0.9), (0, 2, 0.9), (2, 3, 0.3), (3, 4, 0.9)]
+    i, j, w = [], [], []
+    for a, b, x in base:
+        i += [a, b]; j += [b, a]; w += [x, x]
+    i, j, w = (np.array(i, np.int64), np.array(j, np.int64),
+               np.array(w, np.float64))
+    oi, oj, ow = diffusion.diffuse_true(i, j, w, 5, iterations=5)
+    m = {(int(a), int(b)): float(x) for a, b, x in zip(oi, oj, ow)}
+    assert m[(0, 1)] > m[(2, 3)]

@@ -1,0 +1,117 @@
+"""Detector validation: recall of drawn segments on synthetic imagery, and
+comparison against OpenCV's LSD where available (the reference's detector is
+the same algorithm family, lsd_opencv.cpp)."""
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from line3d_tpu.detect import detector, vectorized_lsd
+
+
+def draw_scene(width=640, height=480, seed=3, n_lines=12, thickness=2):
+    rng = np.random.default_rng(seed)
+    img = np.full((height, width), 255, np.uint8)
+    segs = []
+    for _ in range(n_lines):
+        ang = rng.uniform(0, np.pi)
+        length = rng.uniform(100, 300)
+        cx = rng.uniform(0.2 * width, 0.8 * width)
+        cy = rng.uniform(0.2 * height, 0.8 * height)
+        d = np.array([np.cos(ang), np.sin(ang)]) * length / 2
+        p1 = np.array([cx, cy]) - d
+        p2 = np.array([cx, cy]) + d
+        p1 = np.clip(p1, [5, 5], [width - 5, height - 5])
+        p2 = np.clip(p2, [5, 5], [width - 5, height - 5])
+        if np.linalg.norm(p1 - p2) < 60:
+            continue
+        gray = int(rng.uniform(0, 120))
+        cv2.line(img, tuple(p1.astype(int)), tuple(p2.astype(int)), gray,
+                 thickness, lineType=cv2.LINE_AA)
+        segs.append(np.concatenate([p1, p2]))
+    img = cv2.GaussianBlur(img, (3, 3), 0.7)
+    return img, np.array(segs)
+
+
+def seg_recall(gt, det, dist_tol=4.0, ang_tol_deg=4.0, cover=0.6):
+    """Fraction of gt segments whose length is covered (union over all
+    aligned detections — detectors split segments at crossings)."""
+    hits = 0
+    for s in gt:
+        p1, p2 = s[:2], s[2:]
+        d = p2 - p1
+        L = np.linalg.norm(d)
+        d = d / L
+        n = np.array([-d[1], d[0]])
+        intervals = []
+        for t in det:
+            q1, q2 = t[:2], t[2:]
+            e = q2 - q1
+            Le = np.linalg.norm(e)
+            if Le < 1e-6:
+                continue
+            e = e / Le
+            ang = np.degrees(np.arccos(np.clip(abs(d @ e), 0, 1)))
+            if ang > ang_tol_deg:
+                continue
+            if abs((q1 - p1) @ n) > dist_tol or abs((q2 - p1) @ n) > dist_tol:
+                continue
+            t1 = np.clip((q1 - p1) @ d / L, 0, 1)
+            t2 = np.clip((q2 - p1) @ d / L, 0, 1)
+            intervals.append(tuple(sorted((t1, t2))))
+        covered = 0.0
+        last = 0.0
+        for a, b in sorted(intervals):
+            a = max(a, last)
+            if b > a:
+                covered += b - a
+                last = b
+        if covered >= cover:
+            hits += 1
+    return hits / max(len(gt), 1)
+
+
+def test_detect_recall_on_drawn_segments():
+    img, gt = draw_scene()
+    det = detector.detect_line_segments(img, img.shape[1], img.shape[0],
+                                        min_length=20.0, max_segments=3000)
+    assert len(det) >= len(gt)          # each edge has two sides
+    r = seg_recall(gt, det)
+    assert r >= 0.9, f"recall {r}"
+
+
+def test_detect_against_opencv_lsd():
+    """Our detector must find (at least) the long segments OpenCV's LSD
+    finds — the downstream pipeline only consumes the longest 3000."""
+    if not hasattr(cv2, "createLineSegmentDetector"):
+        pytest.skip("cv2 without LSD")
+    img, gt = draw_scene(seed=11, n_lines=16)
+    lsd = cv2.createLineSegmentDetector(cv2.LSD_REFINE_ADV)
+    ref_lines = lsd.detect(img)[0]
+    ref = ref_lines.reshape(-1, 4)
+    lens = np.hypot(ref[:, 0] - ref[:, 2], ref[:, 1] - ref[:, 3])
+    ref_long = ref[lens > 50]
+
+    det = detector.detect_line_segments(img, img.shape[1], img.shape[0],
+                                        min_length=20.0, max_segments=3000)
+    r = seg_recall(ref_long, det, dist_tol=5.0, ang_tol_deg=5.0, cover=0.5)
+    assert r >= 0.8, f"recall vs opencv LSD {r} ({len(ref_long)} ref segs)"
+
+
+def test_detect_scaling_roundtrip():
+    """Coordinates must come back in original resolution when the pipeline
+    downsizes the image first (detectLineSegments, line3D.cc:1794-1844)."""
+    img, gt = draw_scene(width=1280, height=960, thickness=3)
+    det = detector.detect_line_segments(img, 640, 480,
+                                        min_length=40.0, max_segments=3000)
+    assert len(det) > 0
+    # detected coords span the ORIGINAL image, not the working resolution
+    assert det[:, 0::2].max() > 700 or det[:, 1::2].max() > 500
+    r = seg_recall(gt, det, dist_tol=8.0, ang_tol_deg=5.0, cover=0.5)
+    assert r >= 0.8, f"recall {r}"
+
+
+def test_empty_image():
+    img = np.full((200, 300), 128, np.uint8)
+    det = detector.detect_line_segments(img, 300, 200, 10.0, 3000)
+    assert det.shape == (0, 4)

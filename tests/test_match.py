@@ -21,12 +21,12 @@ def test_pairwise_match_recovers_true_depths():
     v, n = 0, 1
 
     F = cams.fundamental(v, n).astype(np.float32)
-    depths, valid = pairwise.match_pair_dense(
+    depth_planes, valid = pairwise.match_pair_dense(
         _f32(sc.segments[v]), _f32(sc.segments[n]),
         jnp.asarray(sc.seg_mask[v]), jnp.asarray(sc.seg_mask[n]),
         jnp.asarray(F), _f32(cams.RtKinv[v]), _f32(cams.RtKinv[n]),
         _f32(cams.C[v]), _f32(cams.C[n]))
-    depths = np.asarray(depths)
+    depths = np.stack([np.asarray(d) for d in depth_planes], axis=-1)
     valid = np.asarray(valid)
 
     # every ground-truth co-visible line must be matched with correct depths
@@ -49,6 +49,35 @@ def test_pairwise_match_recovers_true_depths():
         np.testing.assert_allclose(d[2], td_n[0], rtol=2e-2)
         np.testing.assert_allclose(d[3], td_n[1], rtol=2e-2)
     assert hits >= max(2, len(common) // 2)
+
+
+def test_soa_kernel_matches_reference_formulation():
+    """The SoA production kernel must agree with the readable AoS version."""
+    syn = make_scene(num_views=6)
+    cams = syn.cameras
+    sc = syn.scene
+    v, n = 2, 4
+    F = cams.fundamental(v, n).astype(np.float32)
+    args = (_f32(sc.segments[v]), _f32(sc.segments[n]),
+            jnp.asarray(sc.seg_mask[v]), jnp.asarray(sc.seg_mask[n]),
+            jnp.asarray(F), _f32(cams.RtKinv[v]), _f32(cams.RtKinv[n]),
+            _f32(cams.C[v]), _f32(cams.C[n]))
+    d_ref, v_ref = pairwise.match_pair_dense_reference(*args)
+    d_soa, v_soa = pairwise.match_pair_dense(*args)
+    v_ref = np.asarray(v_ref)
+    v_soa = np.asarray(v_soa)
+    # identical gating except float-rounding borderliners
+    assert (v_ref != v_soa).mean() < 1e-3
+    both = v_ref & v_soa
+    d_ref = np.asarray(d_ref)
+    d_soa = np.stack([np.asarray(d) for d in d_soa], axis=-1)
+    # the AoS formulation is the LESS precise of the two (its jnp.cross
+    # chains lose ~1e-2 relative to float64 through f32 cancellation; the
+    # SoA kernel fuses the expanded expressions with FMAs and sits at ~1e-7
+    # of the f64 result) — tolerance reflects the AoS error, not the SoA's
+    np.testing.assert_allclose(d_ref[both], d_soa[both], rtol=4e-2, atol=1e-3)
+    rel = np.abs(d_ref - d_soa)[both] / np.abs(d_ref[both])
+    assert np.median(rel) < 5e-3
 
 
 def test_compact_rows_order_and_overflow():
