@@ -1,19 +1,19 @@
 """Test configuration: run the whole suite on a virtual 8-device CPU mesh so
 multi-chip sharding logic is exercised without TPU hardware (SURVEY.md §4).
-Must run before the first `import jax` anywhere in the test process.
+
+This machine's sitecustomize force-registers the axon TPU backend via
+jax.config.update("jax_platforms", "axon,cpu") at interpreter start, so env
+vars alone don't steer tests to CPU — undo it with config updates before any
+backend initializes (conftest import runs before test modules import jax
+arrays into devices).
 """
 import os
 
-# FORCE cpu: the machine environment presets JAX_PLATFORMS=axon (the TPU
-# tunnel); tests must not ride it (single-client tunnel, serialized and slow).
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
-
-# persistent compilation cache: XLA-CPU compiles of the match kernels take
-# O(minutes); cache them across pytest processes
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       "/tmp/jax_cache_line3d_tests")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)

@@ -1,0 +1,92 @@
+"""Multi-device sharded matching must reproduce the single-chip engine.
+
+Runs on the virtual 8-device CPU mesh (conftest.py)."""
+import numpy as np
+import jax
+import pytest
+
+from line3d_tpu.config import L3DConfig
+from line3d_tpu.core.conditioning import compute_conditioning
+from line3d_tpu.match import engine
+from line3d_tpu.parallel import mesh as mesh_mod, sharded
+from line3d_tpu.scene import view_similarities_from_worldpoints, \
+    find_visual_neighbors
+from synthetic import make_scene
+
+
+@pytest.fixture(scope="module")
+def setup():
+    syn = make_scene(num_views=8)
+    cams = syn.cameras
+    cfg = L3DConfig()
+    tr = compute_conditioning(cams.C)
+    cams.transform(tr.Qinv, tr.scale)
+    sim, _ = view_similarities_from_worldpoints(syn.wp_lists,
+                                                syn.scene.num_views)
+    neighbors = find_visual_neighbors(sim, cams.baselines(),
+                                      cfg.min_baseline, 4)
+    return syn, cams, cfg, neighbors
+
+
+def test_mesh_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_matches_single_chip(setup):
+    syn, cams, cfg, neighbors = setup
+    scene = syn.scene
+    S = scene.max_segments
+
+    matches, best, med = engine.run_matching(scene, cams, neighbors, cfg)
+
+    mesh = mesh_mod.make_view_mesh()
+    Vp = mesh_mod.pad_views_to_mesh(scene.num_views, mesh)
+    stacks, nb_ids = sharded.build_stacks(scene, cams, neighbors, cfg,
+                                          num_pad_views=Vp)
+    out = sharded.sharded_match_all_views(
+        stacks, np.float32(cfg.sigma_p), np.float32(cfg.sigma_a),
+        np.float32(cfg.confidence_threshold),
+        m_pair=min(cfg.max_matches_per_segment, S),
+        m_total=min(cfg.max_matches_per_segment, S),
+        row_chunk=min(128, S), k_export=S * 8, mesh=mesh)
+    out = {k: np.asarray(v) for k, v in out.items()}
+
+    # verified-match counts agree per view
+    single_counts = {vm.view: len(vm.src_seg) for vm in matches}
+    for v in range(scene.num_views):
+        assert out["n_verified"][v] == single_counts.get(v, 0), v
+
+    # per-segment best matches agree (cam/tgt ids + confidence)
+    V = scene.num_views
+    best_map = {}
+    for k in range(best.view.size):
+        best_map[(int(best.view[k]), int(best.seg[k]))] = (
+            int(best.tgt_view[k]), int(best.tgt_seg[k]),
+            float(best.score[k]))
+    n_checked = 0
+    for v in range(V):
+        for s in range(S):
+            if not out["best_has"][v, s]:
+                assert (v, s) not in best_map
+                continue
+            cam_slot = int(out["best_cam"][v, s])
+            tgt_global = int(nb_ids[v, cam_slot])
+            tv, ts, score = best_map[(v, s)]
+            assert tv == tgt_global and ts == int(out["best_tgt"][v, s])
+            sharded_score = min(out["best_conf"][v, s] /
+                                cfg.confidence_norm, 1.0)
+            np.testing.assert_allclose(score, sharded_score, rtol=1e-5)
+            n_checked += 1
+    assert n_checked > 20
+
+    # exported verified matches = the single-chip filtered match lists
+    for vm in matches:
+        v = vm.view
+        exp_valid = out["exp_src"][v] >= 0
+        got = set(zip(out["exp_src"][v][exp_valid].tolist(),
+                      [int(nb_ids[v, c]) for c in
+                       out["exp_cam"][v][exp_valid]],
+                      out["exp_tgt"][v][exp_valid].tolist()))
+        want = set(zip(vm.src_seg.tolist(), vm.tgt_view.tolist(),
+                       vm.tgt_seg.tolist()))
+        assert got == want
