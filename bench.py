@@ -5,6 +5,12 @@ K_pairwise_matches, cudawrapper.cu:538-611) at production shape — 3072
 padded segments per view, 10 visual neighbors — on one chip and reports
 evaluated line-pair affinities per second.
 
+Measurement protocol (required on this TPU tunnel backend, which memoizes
+repeated identical executions and whose per-dispatch overhead is ~15 ms):
+N kernel iterations run inside one device-side fori_loop with the input
+perturbed per iteration; the result is read back to host to force
+execution; per-iteration time = wall / N after a warm compile.
+
 Output: one JSON line {"metric", "value", "unit", "vs_baseline"}.
 The reference publishes no numbers (BASELINE.md); vs_baseline is measured
 against a nominal 1e9 pair-affinities/sec for the CUDA kernel on a 2015-era
@@ -16,18 +22,18 @@ import time
 import numpy as np
 
 NOMINAL_BASELINE_PAIRS_PER_SEC = 1.0e9
+LOOP_N = 16
 
 
 def main():
     import jax
+    import jax.numpy as jnp
     from line3d_tpu.config import L3DConfig
     from line3d_tpu.core.conditioning import compute_conditioning
     from line3d_tpu.scene import view_similarities_from_worldpoints, \
         find_visual_neighbors
     from line3d_tpu.utils.demo import make_demo_scene
     from line3d_tpu.match import pairwise
-    import jax.numpy as jnp
-    import functools
 
     cfg = L3DConfig()
     # ~3000 segments/view (the reference cap, commons.h:44), padded to 3072
@@ -47,33 +53,34 @@ def main():
     F = cams.fundamentals_for_pairs(
         np.stack([np.full(N, v), nb], axis=1)).astype(np.float32)
 
-    match_fn = jax.jit(functools.partial(
-        pairwise.match_view_against_neighbors, m_cap=256))
-
-    args = (jnp.asarray(scene.segments[v]), jnp.asarray(scene.seg_mask[v]),
-            jnp.asarray(cams.f32("RtKinv")[v]), jnp.asarray(cams.f32("C")[v]),
-            jnp.asarray(scene.segments[nb]), jnp.asarray(scene.seg_mask[nb]),
+    args = (jnp.asarray(scene.segments[nb]), jnp.asarray(scene.seg_mask[nb]),
             jnp.asarray(F), jnp.asarray(cams.f32("RtKinv")[nb]),
             jnp.asarray(cams.f32("C")[nb]), jnp.asarray(np.ones(N, bool)))
+    src_rest = (jnp.asarray(scene.seg_mask[v]),
+                jnp.asarray(cams.f32("RtKinv")[v]),
+                jnp.asarray(cams.f32("C")[v]))
 
-    # warmup + compile.  NOTE: results must be *consumed* (accumulated into a
-    # scalar that is then blocked on) — on the axon backend,
-    # block_until_ready on an unconsumed output can return before the work
-    # actually executes, giving wildly optimistic timings.
-    out = match_fn(*args)
-    acc = out["n_valid"].sum()
-    acc.block_until_ready()
+    @jax.jit
+    def loop(segs_src, *a):
+        def body(i, acc):
+            res = pairwise.match_view_against_neighbors(
+                segs_src + i.astype(jnp.float32) * 1e-4, *a, m_cap=256)
+            return acc + res["n_valid"].sum().astype(jnp.float32)
+        return jax.lax.fori_loop(0, LOOP_N, body, jnp.float32(0))
 
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = match_fn(*args)
-        acc = acc + out["n_valid"].sum()
-    acc.block_until_ready()
-    dt = time.perf_counter() - t0
+    base = jnp.asarray(scene.segments[v])
+    float(loop(base, *src_rest, *args))          # compile + warm
 
-    pairs = N * S * S * iters
-    rate = pairs / dt
+    times = []
+    for trial in range(3):
+        x = jnp.asarray(scene.segments[v] + np.float32(0.01 * (trial + 1)))
+        t0 = time.perf_counter()
+        float(loop(x, *src_rest, *args))         # host read forces execution
+        times.append(time.perf_counter() - t0)
+
+    per_iter = min(times) / LOOP_N
+    pairs = N * S * S
+    rate = pairs / per_iter
     print(json.dumps({
         "metric": "line_pair_affinities_per_sec_per_chip",
         "value": rate,

@@ -251,6 +251,16 @@ def compact_rows(depths, valid, m_cap):
     return tgt_idx, depths_g, kept_valid, n_valid
 
 
+def use_pallas() -> bool:
+    """Pallas kernels run on TPU backends; XLA SoA elsewhere (tests run on
+    CPU).  The two are semantically identical (tests/test_pallas.py)."""
+    import jax
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except RuntimeError:
+        return False
+
+
 def match_view_against_neighbors(segs_src, mask_src, RtKinv_src, C_src,
                                  segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb,
                                  nb_mask, m_cap,
@@ -271,9 +281,15 @@ def match_view_against_neighbors(segs_src, mask_src, RtKinv_src, C_src,
       valid [N, Ss, m_cap], n_valid [N, Ss], overflow [N] (int32 count of
       matches dropped by the cap — reference keeps all, cudawrapper.cu:926).
     """
+    if use_pallas():
+        from . import pairwise_pallas
+        pair_fn = pairwise_pallas.match_pair_dense_pallas
+    else:
+        pair_fn = match_pair_dense
+
     def step(carry, nb):
         segs_t, mask_t, F, RtKinv_t, C_t, nbm = nb
-        depths, valid = match_pair_dense(
+        depths, valid = pair_fn(
             segs_src, segs_t, mask_src, mask_t & nbm,
             F, RtKinv_src, RtKinv_t, C_src, C_t,
             min_overlap_lower, min_overlap_upper)

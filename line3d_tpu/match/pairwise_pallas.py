@@ -1,0 +1,244 @@
+"""Pallas TPU kernel for dense pairwise line-segment matching.
+
+Same math as pairwise.match_pair_dense (the SoA XLA formulation), fused into
+a single VMEM-resident tile program: XLA materializes many [S, S] f32
+intermediate planes to HBM (~15 GB of traffic per 3072x3072 pair grid,
+~19 ms/view-pair on v5e); this kernel keeps all intermediates in
+VMEM/vregs and writes only the 5 output planes.
+
+Grid: (Ss / BS, St / BT).  Per tile, source-segment quantities live in
+[BS, 1] columns and target quantities in [1, BT] rows (targets are passed
+pre-transposed [4, St] so row slices are natural); every pairwise quantity
+is a [BS, BT] VPU plane.
+
+Semantics (identical to the reference CUDA kernel K_pairwise_matches,
+cudawrapper.cu:538-611):
+  epipolar transfer of both segments' endpoints, mutual 2D overlap gate
+  (min > 0.10, max > 0.30), two-ray triangulation of the four endpoint
+  correspondences, validity = all four depths positive.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+EPS = 1e-12
+
+
+def _kernel(params_ref, segs_src_ref, segs_tgtT_ref, mask_src_ref,
+            mask_tgtT_ref, d1_ref, d2_ref, d3_ref, d4_ref, valid_ref):
+    P = params_ref
+    # params layout (see match_pair_dense_pallas):
+    # 0..8   F (row-major)          9..17  RtKinv_src
+    # 18..26 RtKinv_tgt             27..29 C_src
+    # 30..32 C_tgt                  33, 34 overlap thresholds
+    F = [[P[0, 3 * r + c] for c in range(3)] for r in range(3)]
+    Ms = [[P[0, 9 + 3 * r + c] for c in range(3)] for r in range(3)]
+    Mt = [[P[0, 18 + 3 * r + c] for c in range(3)] for r in range(3)]
+    Cs = [P[0, 27 + k] for k in range(3)]
+    Ct = [P[0, 30 + k] for k in range(3)]
+    ov_lo = P[0, 33]
+    ov_hi = P[0, 34]
+
+    p1x = segs_src_ref[:, 0:1]
+    p1y = segs_src_ref[:, 1:2]
+    p2x = segs_src_ref[:, 2:3]
+    p2y = segs_src_ref[:, 3:4]
+    q1x = segs_tgtT_ref[0:1, :]
+    q1y = segs_tgtT_ref[1:2, :]
+    q2x = segs_tgtT_ref[2:3, :]
+    q2y = segs_tgtT_ref[3:4, :]
+    m_src = mask_src_ref[:, 0:1]
+    m_tgt = mask_tgtT_ref[0:1, :]
+
+    # supporting lines
+    l1a = p1y - p2y; l1b = p2x - p1x; l1c = p1x * p2y - p1y * p2x
+    l2a = q1y - q2y; l2b = q2x - q1x; l2c = q1x * q2y - q1y * q2x
+
+    def fline(M, x, y):
+        return (M[0][0] * x + M[0][1] * y + M[0][2],
+                M[1][0] * x + M[1][1] * y + M[1][2],
+                M[2][0] * x + M[2][1] * y + M[2][2])
+
+    Ft = [[F[c][r] for c in range(3)] for r in range(3)]
+    e1a, e1b, e1c = fline(F, p1x, p1y)
+    e2a, e2b, e2c = fline(F, p2x, p2y)
+    f1a, f1b, f1c = fline(Ft, q1x, q1y)
+    f2a, f2b, f2c = fline(Ft, q2x, q2y)
+
+    def intersect(la, lb, lc, ma, mb, mc):
+        ix = lb * mc - lc * mb
+        iy = lc * ma - la * mc
+        iz = la * mb - lb * ma
+        ok = jnp.abs(iz) > EPS
+        inv = 1.0 / jnp.where(ok, iz, 1.0)
+        return jnp.where(ok, ix * inv, 0.0), jnp.where(ok, iy * inv, 0.0), ok
+
+    a1x, a1y, ok1 = intersect(l2a, l2b, l2c, e1a, e1b, e1c)
+    a2x, a2y, ok2 = intersect(l2a, l2b, l2c, e2a, e2b, e2c)
+    b1x, b1y, ok3 = intersect(l1a, l1b, l1c, f1a, f1b, f1c)
+    b2x, b2y, ok4 = intersect(l1a, l1b, l1c, f2a, f2b, f2c)
+    inter_ok = ok1 & ok2 & ok3 & ok4
+
+    # overlap gate on SQUARED distances: every branch of
+    # D_segment_overlap_2D is a ratio of point distances, and every
+    # comparison is against a non-negative threshold, so the whole gate is
+    # monotone under squaring — this removes ~10 [BS, BT]-sized sqrts.
+    def overlap_sq(ax, ay, bx, by, cx, cy, dx, dy):
+        d2 = lambda ux, uy, vx, vy: (ux - vx) ** 2 + (uy - vy) ** 2
+        len2_ab = d2(ax, ay, bx, by)
+        len2_cd = d2(cx, cy, dx, dy)
+        on = lambda px, py, qx, qy, rx, ry: \
+            (px - rx) * (qx - rx) + (py - ry) * (qy - ry) < EPS
+        c_in = on(ax, ay, bx, by, cx, cy)
+        d_in = on(ax, ay, bx, by, dx, dy)
+        a_in = on(cx, cy, dx, dy, ax, ay)
+        b_in = on(cx, cy, dx, dy, bx, by)
+        safe = lambda x: jnp.maximum(x, EPS)
+        EPS2 = EPS * EPS
+        c1 = len2_cd / safe(len2_ab)
+        c2 = len2_ab / safe(len2_cd)
+        l31 = d2(bx, by, dx, dy)
+        l32 = d2(ax, ay, dx, dy)
+        c3 = jnp.where(a_in & (l31 > EPS2), d2(cx, cy, ax, ay) / safe(l31),
+                       jnp.where(l32 > EPS2,
+                                 d2(cx, cy, bx, by) / safe(l32), 0.0))
+        l41 = d2(ax, ay, cx, cy)
+        l42 = d2(bx, by, cx, cy)
+        c4 = jnp.where(b_in & (l41 > EPS2), d2(dx, dy, bx, by) / safe(l41),
+                       jnp.where(l42 > EPS2,
+                                 d2(dx, dy, ax, ay) / safe(l42), 0.0))
+        ov = jnp.where(c_in & d_in, c1,
+                       jnp.where(a_in & b_in, c2,
+                                 jnp.where(c_in, c3,
+                                           jnp.where(d_in, c4, 0.0))))
+        return jnp.where((len2_ab < 1.0) | (len2_cd < 1.0), 0.0, ov)
+
+    ov1 = overlap_sq(p1x, p1y, p2x, p2y, b1x, b1y, b2x, b2y)
+    ov2 = overlap_sq(q1x, q1y, q2x, q2y, a1x, a1y, a2x, a2y)
+    ov_ok = (jnp.minimum(ov1, ov2) > ov_lo * ov_lo) & \
+            (jnp.maximum(ov1, ov2) > ov_hi * ov_hi)
+
+    def ray_n(M, x, y):
+        """Normalized ray — only for [BS,1]/[1,BT]-shaped endpoints."""
+        rx = M[0][0] * x + M[0][1] * y + M[0][2]
+        ry = M[1][0] * x + M[1][1] * y + M[1][2]
+        rz = M[2][0] * x + M[2][1] * y + M[2][2]
+        inv = jax.lax.rsqrt(jnp.maximum(rx * rx + ry * ry + rz * rz, EPS))
+        return rx * inv, ry * inv, rz * inv
+
+    def ray_u(M, x, y):
+        """Transfer-point ray.  The triangulation depth along ray1 is
+        invariant to ray2's scale, but normalization is still numerically
+        load-bearing: far epipolar intersections have huge coordinates and
+        the unnormalized dot products cancel catastrophically in f32."""
+        rx = M[0][0] * x + M[0][1] * y + M[0][2]
+        ry = M[1][0] * x + M[1][1] * y + M[1][2]
+        rz = M[2][0] * x + M[2][1] * y + M[2][2]
+        inv = jax.lax.rsqrt(jnp.maximum(rx * rx + ry * ry + rz * rz, EPS))
+        return rx * inv, ry * inv, rz * inv
+
+    w0 = (Cs[0] - Ct[0], Cs[1] - Ct[1], Cs[2] - Ct[2])
+
+    def tri(r1, r2, want_first):
+        a = r1[0] * r1[0] + r1[1] * r1[1] + r1[2] * r1[2]
+        b = r1[0] * r2[0] + r1[1] * r2[1] + r1[2] * r2[2]
+        c = r2[0] * r2[0] + r2[1] * r2[1] + r2[2] * r2[2]
+        d = r1[0] * w0[0] + r1[1] * w0[1] + r1[2] * w0[2]
+        e = r2[0] * w0[0] + r2[1] * w0[1] + r2[2] * w0[2]
+        denom = a * c - b * b
+        ok = jnp.abs(denom) > EPS
+        inv = 1.0 / jnp.where(ok, denom, 1.0)
+        num = (b * e - c * d) if want_first else (a * e - b * d)
+        return jnp.where(ok, num * inv, -1.0), ok
+
+    ray_p1 = ray_n(Ms, p1x, p1y)
+    ray_p2 = ray_n(Ms, p2x, p2y)
+    ray_q1 = ray_n(Mt, q1x, q1y)
+    ray_q2 = ray_n(Mt, q2x, q2y)
+    ray_a1 = ray_u(Mt, a1x, a1y)
+    ray_a2 = ray_u(Mt, a2x, a2y)
+    ray_b1 = ray_u(Ms, b1x, b1y)
+    ray_b2 = ray_u(Ms, b2x, b2y)
+
+    d_p1, t1 = tri(ray_p1, ray_a1, True)
+    d_p2, t2 = tri(ray_p2, ray_a2, True)
+    d_q1, t3 = tri(ray_b1, ray_q1, False)
+    d_q2, t4 = tri(ray_b2, ray_q2, False)
+
+    pos = (d_p1 > 0.0) & (d_p2 > 0.0) & (d_q1 > 0.0) & (d_q2 > 0.0)
+    valid = (inter_ok & ov_ok & pos & t1 & t2 & t3 & t4 &
+             (m_src > 0.5) & (m_tgt > 0.5))
+
+    shape = (segs_src_ref.shape[0], segs_tgtT_ref.shape[1])
+    bc = lambda x: jnp.broadcast_to(x, shape)
+    d1_ref[:, :] = bc(d_p1)
+    d2_ref[:, :] = bc(d_p2)
+    d3_ref[:, :] = bc(d_q1)
+    d4_ref[:, :] = bc(d_q2)
+    valid_ref[:, :] = bc(valid).astype(jnp.float32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_s", "block_t", "interpret"))
+def match_pair_dense_pallas(segs_src, segs_tgt, mask_src, mask_tgt,
+                            F, RtKinv_src, RtKinv_tgt, C_src, C_tgt,
+                            min_overlap_lower=0.10, min_overlap_upper=0.30,
+                            block_s: int = 256, block_t: int = 512,
+                            interpret: bool = False):
+    """Drop-in replacement for pairwise.match_pair_dense on TPU.
+
+    Returns (depth planes tuple, valid bool [Ss, St]).  Ss and St must be
+    multiples of the block sizes (the Scene container pads to 128; callers
+    pick block sizes that divide the padded shape).
+    """
+    Ss = segs_src.shape[0]
+    St = segs_tgt.shape[0]
+    block_s = min(block_s, Ss)
+    block_t = min(block_t, St)
+    assert Ss % block_s == 0 and St % block_t == 0, (Ss, St, block_s, block_t)
+
+    params = jnp.concatenate([
+        jnp.ravel(F), jnp.ravel(RtKinv_src), jnp.ravel(RtKinv_tgt),
+        jnp.ravel(C_src), jnp.ravel(C_tgt),
+        jnp.array([min_overlap_lower, min_overlap_upper], jnp.float32),
+    ]).astype(jnp.float32)[None, :]                       # [1, 35]
+
+    segs_tgtT = segs_tgt.T                                # [4, St]
+    mask_srcf = mask_src.astype(jnp.float32)[:, None]     # [Ss, 1]
+    mask_tgtf = mask_tgt.astype(jnp.float32)[None, :]     # [1, St]
+
+    grid = (Ss // block_s, St // block_t)
+    out_shape = [jax.ShapeDtypeStruct((Ss, St), jnp.float32)] * 5
+    out_spec = pl.BlockSpec((block_s, block_t), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+
+    d1, d2, d3, d4, validf = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 35), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_s, 4), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, block_t), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_s, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_t), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_spec] * 5,
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=int(Ss) * int(St) * 420,
+            bytes_accessed=int(Ss) * int(St) * 4 * 5,
+            transcendentals=int(Ss) * int(St) * 12),
+        interpret=interpret,
+    )(params, segs_src, segs_tgtT, mask_srcf, mask_tgtf)
+
+    return (d1, d2, d3, d4), validf > 0.5
