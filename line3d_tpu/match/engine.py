@@ -235,6 +235,107 @@ def run_matching(scene: Scene, cameras: CameraSet, neighbors: list,
     return all_matches, best, median_depths
 
 
+def run_matching_sharded(scene: Scene, cameras: CameraSet, neighbors: list,
+                         config: L3DConfig, verbose: bool = False,
+                         mesh=None, k_export_per_seg: int = 8):
+    """Sharded/batched variant of run_matching: the whole scene's matching
+    runs in ONE device dispatch over a views mesh (parallel/sharded.py),
+    then the host reconstructs the same ViewMatches / BestMatches
+    structures.  Equivalence with the per-view engine is covered by
+    tests/test_sharding.py.
+    """
+    import jax
+    from ..parallel import mesh as mesh_mod, sharded
+
+    V = scene.num_views
+    S = scene.max_segments
+    n_max = max((len(n) for n in neighbors), default=0)
+    if n_max == 0:
+        return [], _empty_best(), np.ones(V)
+
+    if mesh is None:
+        mesh = mesh_mod.make_view_mesh()
+    Vp = mesh_mod.pad_views_to_mesh(V, mesh)
+    segments, seg_mask, stacks, nb_ids = sharded.build_stacks(
+        scene, cameras, neighbors, config, num_pad_views=Vp)
+
+    spatial_ks = cameras.spatial_uncertainty_k(2.0 * config.sigma_p)
+    out = sharded.sharded_match_all_views(
+        segments, seg_mask, stacks,
+        np.float32(config.sigma_p), np.float32(config.sigma_a),
+        np.float32(config.confidence_threshold),
+        m_pair=min(config.max_matches_per_segment, S),
+        m_total=min(config.max_matches_per_segment, S),
+        row_chunk=min(128, S),
+        k_export=min(S * k_export_per_seg,
+                     S * min(config.max_matches_per_segment, S)),
+        mesh=mesh)
+    out = {k: np.asarray(v) for k, v in out.items()}
+
+    all_matches = []
+    best_rows = []
+    median_depths = np.ones(V)
+    for v in range(V):
+        nb = np.asarray(neighbors[v], np.int64)
+        if len(nb) == 0:
+            continue
+        # median depth (cudawrapper.cu:1025-1076)
+        has = out["raw_max"][v] > config.confidence_threshold / 2.0
+        if has.any():
+            dall = out["raw_depths"][v][has].reshape(-1)
+            dall = np.sort(dall, kind="stable")
+            median_depths[v] = float(dall[len(dall) // 2])
+        cameras.median_depth[v] = median_depths[v]
+
+        ev = out["exp_src"][v] >= 0
+        src = out["exp_src"][v][ev]
+        camslot = out["exp_cam"][v][ev]
+        vm = ViewMatches(
+            view=v,
+            src_seg=src.astype(np.int32),
+            tgt_view=nb_ids[v][camslot].astype(np.int32),
+            tgt_seg=out["exp_tgt"][v][ev].astype(np.int32),
+            depths=out["exp_depths"][v][ev].astype(np.float32),
+            confidence=(out["exp_conf"][v][ev] /
+                        config.confidence_norm).astype(np.float32),
+            overflow=int(out["overflow"][v]))
+        all_matches.append(vm)
+
+        bs = np.nonzero(out["best_has"][v])[0]
+        if len(bs):
+            d1 = out["best_depths"][v][bs, 0]
+            d2 = out["best_depths"][v][bs, 1]
+            bconf = np.minimum(out["best_conf"][v][bs] /
+                               config.confidence_norm, 1.0)
+            p1 = np.concatenate([scene.segments[v, bs, 0:2],
+                                 np.ones((len(bs), 1), np.float32)], axis=1)
+            p2 = np.concatenate([scene.segments[v, bs, 2:4],
+                                 np.ones((len(bs), 1), np.float32)], axis=1)
+            r1 = (cameras.RtKinv[v] @ p1.astype(np.float64).T).T
+            r1 /= np.linalg.norm(r1, axis=1, keepdims=True)
+            r2 = (cameras.RtKinv[v] @ p2.astype(np.float64).T).T
+            r2 /= np.linalg.norm(r2, axis=1, keepdims=True)
+            P1 = cameras.C[v] + r1 * d1[:, None].astype(np.float64)
+            P2 = cameras.C[v] + r2 * d2[:, None].astype(np.float64)
+            dirv = P2 - P1
+            nrm = np.linalg.norm(dirv, axis=1, keepdims=True)
+            dirv = np.divide(dirv, nrm, out=np.zeros_like(dirv),
+                             where=nrm > 0)
+            best_rows.append(dict(
+                view=np.full(len(bs), v, np.int32),
+                seg=bs.astype(np.int32),
+                tgt_view=nb_ids[v][out["best_cam"][v][bs]].astype(np.int32),
+                tgt_seg=out["best_tgt"][v][bs].astype(np.int32),
+                score=bconf.astype(np.float32),
+                P1=P1, P2=P2, dir=dirv,
+                d1=d1.astype(np.float32), d2=d2.astype(np.float32)))
+        if verbose:
+            print(f"[L3D] view {v}: {int(ev.sum())} verified matches "
+                  f"(sharded), median_depth={median_depths[v]:.4f}")
+
+    return all_matches, _concat_best(best_rows), median_depths
+
+
 def _empty_best() -> BestMatches:
     z = np.zeros(0, np.int32)
     zf = np.zeros(0, np.float32)

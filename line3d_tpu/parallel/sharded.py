@@ -1,17 +1,21 @@
 """Sharded (multi-chip) matching: all views matched in one pjit'd program
 over a 1-D "views" mesh.
 
-Layout: every per-view quantity is stacked on a leading V axis and sharded
-over the mesh; neighbor data (segments, cameras of each view's visual
-neighbors) is gathered host-side into [V, N, ...] stacks so each device works
-purely on its view shard — the TPU analogue of the reference's per-view
-sequential loop + texture broadcast (SURVEY.md §2 parallelism inventory).
+Layout: per-view camera/neighbor metadata is stacked on a leading V axis and
+sharded over the mesh; the segment tensor [V, S, 4] stays REPLICATED (a
+1000-view scene at 3072 segments is ~48 MB) and each view's neighbor
+segments are gathered on device — the TPU analogue of the reference's
+texture broadcast + per-view loop (SURVEY.md §2 parallelism inventory).
+Host<->device traffic is one dispatch for the whole scene instead of one per
+view (the reference pays a kernel launch + download per neighbor,
+cudawrapper.cu:897-944; this backend pays ~15 ms per dispatch through the
+TPU tunnel, so batching matters even single-chip).
 
-Inside each shard the views run through jax.lax.map (bounded memory), and
-each view reuses the same fused pairwise-match + scoring step as the
-single-chip engine.  Outputs are compacted on device: per-segment best match
-fields plus a fixed-capacity export of verified matches (the clustering
-input), so device->host traffic is O(verified matches), not O(S x M).
+Inside each shard the views run through jax.lax.map (bounded memory), each
+view reusing the same fused pairwise-match + scoring step as the single-chip
+engine.  Outputs are compacted on device: per-segment best-match fields plus
+a fixed-capacity export of verified matches (the clustering input), so
+device->host traffic is O(verified matches), not O(S x M).
 """
 from __future__ import annotations
 
@@ -26,14 +30,18 @@ from ..config import L3DConfig
 from ..core.cameras import CameraSet
 from ..scene import Scene
 from ..match import pairwise, scoring
-from . import mesh as mesh_mod
 
 
-def _single_view_step(args, m_pair, m_total, row_chunk, conf_t,
-                      sigma_p, sigma_a, k_export):
+def _single_view_step(segments, seg_mask, args, m_pair, m_total, row_chunk,
+                      conf_t, sigma_p, sigma_a, k_export):
     (segs_src, mask_src, RtKinv_src, C_src,
-     segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, P_nb, nb_mask,
+     nb_ids, F_nb, RtKinv_nb, C_nb, P_nb, nb_mask,
      spatial_k, view_active) = args
+
+    # device-side neighbor gather from the replicated segment tensor
+    nb_clip = jnp.maximum(nb_ids, 0)
+    segs_nb = segments[nb_clip]                       # [N, S, 4]
+    mask_nb = seg_mask[nb_clip] & (nb_ids >= 0)[:, None]
 
     res = pairwise.match_view_against_neighbors(
         segs_src, mask_src & view_active, RtKinv_src, C_src,
@@ -61,14 +69,14 @@ def _single_view_step(args, m_pair, m_total, row_chunk, conf_t,
 
     # --- device-side selection -----------------------------------------
     keep = valid & (conf > conf_t)
-    # per-segment best (greedySelection)
     conf_keyed = jnp.where(keep, conf, -jnp.inf)
     best_m = jnp.argmax(conf_keyed, axis=1)
     take = lambda a: jnp.take_along_axis(a, best_m[:, None], axis=1)[:, 0]
-    best = dict(
-        conf=take(conf), cam=take(cam), tgt=take(tgt),
-        has=take(keep),
-        d=jnp.take_along_axis(depths, best_m[:, None, None], axis=1)[:, 0])
+    best_conf = take(conf)
+    best_cam = take(cam)
+    best_tgt = take(tgt)
+    best_has = take(keep)
+    best_d = jnp.take_along_axis(depths, best_m[:, None, None], axis=1)[:, 0]
 
     # median-depth inputs (cudawrapper.cu:1025-1076): per-seg raw argmax
     raw_keyed = jnp.where(valid, conf, -jnp.inf)
@@ -86,42 +94,51 @@ def _single_view_step(args, m_pair, m_total, row_chunk, conf_t,
     exp_cam = jnp.take_along_axis(cam.reshape(-1), exp_sel, axis=0)
     exp_tgt = jnp.take_along_axis(tgt.reshape(-1), exp_sel, axis=0)
     exp_conf = jnp.take_along_axis(conf.reshape(-1), exp_sel, axis=0)
+    exp_depths = jnp.take_along_axis(
+        depths.reshape(-1, 4), exp_sel[:, None], axis=0)
     n_verified = jnp.sum(flat_keep)
 
-    return dict(best_conf=best["conf"], best_cam=best["cam"],
-                best_tgt=best["tgt"], best_has=best["has"],
-                best_depths=best["d"],
+    return dict(best_conf=best_conf, best_cam=best_cam,
+                best_tgt=best_tgt, best_has=best_has,
+                best_depths=best_d,
                 raw_max=raw_max, raw_depths=raw_d,
                 exp_src=jnp.where(exp_valid, exp_src, -1),
                 exp_cam=jnp.where(exp_valid, exp_cam, -1),
                 exp_tgt=jnp.where(exp_valid, exp_tgt, -1),
                 exp_conf=jnp.where(exp_valid, exp_conf, 0.0),
+                exp_depths=exp_depths,
                 n_verified=n_verified,
-                overflow=res["overflow"].sum())
+                overflow=res["overflow"].sum() +
+                jnp.maximum(jnp.sum(flat_keep) - k_export, 0))
 
 
 @functools.partial(jax.jit,
                    static_argnames=("m_pair", "m_total", "row_chunk",
                                     "k_export", "mesh", "axis"))
-def sharded_match_all_views(stacks, sigma_p, sigma_a, conf_t,
+def sharded_match_all_views(segments, seg_mask, stacks,
+                            sigma_p, sigma_a, conf_t,
                             m_pair, m_total, row_chunk, k_export,
                             mesh, axis="views"):
-    """Match every view against its neighbor stack, sharded over `mesh`.
+    """Match every view against its neighbors, sharded over `mesh`.
 
-    `stacks` is a dict of [V, ...] arrays (see build_stacks).  V must be a
-    multiple of the mesh size.  Returns [V, ...] outputs with the same
-    sharding.
+    segments [V, S, 4] / seg_mask [V, S] are replicated; `stacks` is a dict
+    of per-view [Vp, ...] arrays (see build_stacks) sharded on the view
+    axis.  Vp must be a multiple of the mesh size.
     """
-    specs = {k: P(axis, *([None] * (v.ndim - 1))) for k, v in stacks.items()}
+    repl = NamedSharding(mesh, P())
+    segments = jax.lax.with_sharding_constraint(segments, repl)
+    seg_mask = jax.lax.with_sharding_constraint(seg_mask, repl)
     sharded = {k: jax.lax.with_sharding_constraint(
-        v, NamedSharding(mesh, specs[k])) for k, v in stacks.items()}
+        v, NamedSharding(mesh, P(axis, *([None] * (v.ndim - 1)))))
+        for k, v in stacks.items()}
 
     def per_view(args):
         ordered = (args["segs"], args["mask"], args["RtKinv"], args["C"],
-                   args["segs_nb"], args["mask_nb"], args["F_nb"],
-                   args["RtKinv_nb"], args["C_nb"], args["P_nb"],
-                   args["nb_mask"], args["spatial_k"], args["view_active"])
-        return _single_view_step(ordered, m_pair, m_total, row_chunk,
+                   args["nb_ids"], args["F_nb"], args["RtKinv_nb"],
+                   args["C_nb"], args["P_nb"], args["nb_mask"],
+                   args["spatial_k"], args["view_active"])
+        return _single_view_step(segments, seg_mask, ordered,
+                                 m_pair, m_total, row_chunk,
                                  conf_t, sigma_p, sigma_a, k_export)
 
     out = jax.lax.map(per_view, sharded)
@@ -133,25 +150,28 @@ def sharded_match_all_views(stacks, sigma_p, sigma_a, conf_t,
 
 def build_stacks(scene: Scene, cameras: CameraSet, neighbors: list,
                  config: L3DConfig, num_pad_views: int | None = None):
-    """Host-side assembly of the [V, ...] input stacks."""
+    """Host-side assembly of the per-view metadata stacks.
+
+    Returns (segments [V?,S,4] — note padded to Vp like the stacks so the
+    view's own segments can ride the sharded axis, seg_mask, stacks dict,
+    nb_ids [Vp, N]).
+    """
     V = scene.num_views
     Vp = num_pad_views or V
     S = scene.max_segments
     n_max = max((len(n) for n in neighbors), default=1)
     n_max = max(n_max, 1)
 
-    segs = np.zeros((Vp, S, 4), np.float32)
-    mask = np.zeros((Vp, S), bool)
-    segs[:V] = scene.segments
-    mask[:V] = scene.seg_mask
+    segments = np.zeros((Vp, S, 4), np.float32)
+    seg_mask = np.zeros((Vp, S), bool)
+    segments[:V] = scene.segments
+    seg_mask[:V] = scene.seg_mask
 
     RtKinv = np.zeros((Vp, 3, 3), np.float32)
     C = np.zeros((Vp, 3), np.float32)
     RtKinv[:V] = cameras.f32("RtKinv")
     C[:V] = cameras.f32("C")
 
-    segs_nb = np.zeros((Vp, n_max, S, 4), np.float32)
-    mask_nb = np.zeros((Vp, n_max, S), bool)
     F_nb = np.zeros((Vp, n_max, 3, 3), np.float32)
     RtKinv_nb = np.zeros((Vp, n_max, 3, 3), np.float32)
     C_nb = np.zeros((Vp, n_max, 3), np.float32)
@@ -159,9 +179,9 @@ def build_stacks(scene: Scene, cameras: CameraSet, neighbors: list,
     nb_mask = np.zeros((Vp, n_max), bool)
     nb_ids = np.full((Vp, n_max), -1, np.int32)
     view_active = np.zeros(Vp, bool)
+    spatial_k = np.zeros(Vp, np.float32)
 
     P32 = cameras.f32("P")
-    spatial_k = np.zeros(Vp, np.float32)
     sk = cameras.spatial_uncertainty_k(2.0 * config.sigma_p)
 
     for v in range(V):
@@ -173,17 +193,15 @@ def build_stacks(scene: Scene, cameras: CameraSet, neighbors: list,
         k = len(nb)
         nb_ids[v, :k] = nb
         nb_mask[v, :k] = True
-        segs_nb[v, :k] = scene.segments[nb]
-        mask_nb[v, :k] = scene.seg_mask[nb]
         F_nb[v, :k] = cameras.fundamentals_for_pairs(
             np.stack([np.full(k, v), nb], axis=1)).astype(np.float32)
         RtKinv_nb[v, :k] = cameras.RtKinv[nb].astype(np.float32)
         C_nb[v, :k] = cameras.C[nb].astype(np.float32)
         P_nb[v, :k] = P32[nb]
 
-    stacks = dict(segs=segs, mask=mask, RtKinv=RtKinv, C=C,
-                  segs_nb=segs_nb, mask_nb=mask_nb, F_nb=F_nb,
-                  RtKinv_nb=RtKinv_nb, C_nb=C_nb, P_nb=P_nb,
+    stacks = dict(segs=segments, mask=seg_mask,
+                  RtKinv=RtKinv, C=C, nb_ids=nb_ids,
+                  F_nb=F_nb, RtKinv_nb=RtKinv_nb, C_nb=C_nb, P_nb=P_nb,
                   nb_mask=nb_mask, spatial_k=spatial_k,
                   view_active=view_active)
-    return stacks, nb_ids
+    return segments, seg_mask, stacks, nb_ids

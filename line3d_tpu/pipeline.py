@@ -39,10 +39,12 @@ class Line3D:
     """
 
     def __init__(self, data_directory: str | None = None,
-                 config: L3DConfig = DEFAULT_CONFIG, verbose: bool = False):
+                 config: L3DConfig = DEFAULT_CONFIG, verbose: bool = False,
+                 use_sharded_engine: bool = True):
         self.config = config
         self.verbose = verbose
         self.data_directory = data_directory
+        self.use_sharded_engine = use_sharded_engine
         if data_directory:
             os.makedirs(data_directory, exist_ok=True)
         self.reset()
@@ -192,10 +194,16 @@ class Line3D:
         cams.transform(self.transform.Qinv, self.transform.scale)
 
         # stage 3+4: matching + verification + greedy selection
-        # (line3D.cc:367-370)
+        # (line3D.cc:367-370).  The sharded engine batches the whole scene
+        # into one device dispatch (and shards it when a mesh is present);
+        # the per-view engine is kept for exactness-without-caps runs.
         t1 = time.time()
-        matches, best, med = engine.run_matching(
-            scene, cams, self.neighbors, cfg, verbose=self.verbose)
+        if self.use_sharded_engine:
+            matches, best, med = engine.run_matching_sharded(
+                scene, cams, self.neighbors, cfg, verbose=self.verbose)
+        else:
+            matches, best, med = engine.run_matching(
+                scene, cams, self.neighbors, cfg, verbose=self.verbose)
         t2 = time.time()
 
         # stage 5: clustering (line3D.cc:373)

@@ -41,10 +41,11 @@ def test_sharded_matches_single_chip(setup):
 
     mesh = mesh_mod.make_view_mesh()
     Vp = mesh_mod.pad_views_to_mesh(scene.num_views, mesh)
-    stacks, nb_ids = sharded.build_stacks(scene, cams, neighbors, cfg,
-                                          num_pad_views=Vp)
+    segments, seg_mask, stacks, nb_ids = sharded.build_stacks(
+        scene, cams, neighbors, cfg, num_pad_views=Vp)
     out = sharded.sharded_match_all_views(
-        stacks, np.float32(cfg.sigma_p), np.float32(cfg.sigma_a),
+        segments, seg_mask, stacks,
+        np.float32(cfg.sigma_p), np.float32(cfg.sigma_a),
         np.float32(cfg.confidence_threshold),
         m_pair=min(cfg.max_matches_per_segment, S),
         m_total=min(cfg.max_matches_per_segment, S),
@@ -90,3 +91,34 @@ def test_sharded_matches_single_chip(setup):
         want = set(zip(vm.src_seg.tolist(), vm.tgt_view.tolist(),
                        vm.tgt_seg.tolist()))
         assert got == want
+
+
+def test_run_matching_sharded_engine_equivalence(setup):
+    """The high-level sharded engine must reproduce run_matching outputs."""
+    from line3d_tpu.match.engine import run_matching_sharded
+    syn, cams, cfg, neighbors = setup
+    scene = syn.scene
+
+    m1, b1, med1 = engine.run_matching(scene, cams, neighbors, cfg)
+    m2, b2, med2 = run_matching_sharded(scene, cams, neighbors, cfg)
+
+    np.testing.assert_allclose(med1, med2, rtol=1e-6)
+    assert b1.view.size == b2.view.size
+    k1 = {(int(v), int(s)): (int(tv), int(ts), float(sc))
+          for v, s, tv, ts, sc in
+          zip(b1.view, b1.seg, b1.tgt_view, b1.tgt_seg, b1.score)}
+    k2 = {(int(v), int(s)): (int(tv), int(ts), float(sc))
+          for v, s, tv, ts, sc in
+          zip(b2.view, b2.seg, b2.tgt_view, b2.tgt_seg, b2.score)}
+    assert k1.keys() == k2.keys()
+    for k in k1:
+        assert k1[k][:2] == k2[k][:2], k
+        np.testing.assert_allclose(k1[k][2], k2[k][2], rtol=1e-5)
+
+    for vm1, vm2 in zip(m1, m2):
+        assert vm1.view == vm2.view
+        s1 = set(zip(vm1.src_seg.tolist(), vm1.tgt_view.tolist(),
+                     vm1.tgt_seg.tolist()))
+        s2 = set(zip(vm2.src_seg.tolist(), vm2.tgt_view.tolist(),
+                     vm2.tgt_seg.tolist()))
+        assert s1 == s2
