@@ -45,6 +45,10 @@ def _add_common_flags(ap: argparse.ArgumentParser):
                     default=d.use_collinearity)
     ap.add_argument("-x", "--min_image_baseline", type=float,
                     default=d.min_baseline)
+    ap.add_argument("-r", "--refine", type=lambda s: s.lower() != "false",
+                    default=d.refine_lines,
+                    help="bundle-adjust 3D lines against member segments "
+                         "(extension; no reference equivalent)")
 
 
 def _config_from_args(args) -> L3DConfig:
@@ -57,7 +61,8 @@ def _config_from_args(args) -> L3DConfig:
         perform_diffusion=args.diffusion,
         load_and_store_segments=args.load_and_store_flag,
         use_collinearity=args.collinearity_flag,
-        min_baseline=abs(args.min_image_baseline))
+        min_baseline=abs(args.min_image_baseline),
+        refine_lines=args.refine)
 
 
 def _result_stem(args) -> str:

@@ -50,6 +50,11 @@ class L3DConfig:
     # published replicator-dynamics update P ∘ (P·W) restricted to the pattern.
     diffusion_mode: str = "reference"
 
+    # --- line refinement (additive: line bundle adjustment, no reference
+    # equivalent; BASELINE.json north star) ---
+    refine_lines: bool = False
+    refine_iterations: int = 5
+
     # --- clustering (commons.h:64, line3D.cc:1245,1334) ---
     min_affinity: float = 0.25           # L3D_MIN_AFFINITY (direct edges)
     collinear_affinity: float = 0.01     # collinear edge threshold (line3D.cc:1087,1165)

@@ -121,8 +121,17 @@ def sweep_cluster(points: np.ndarray, seg_ids: np.ndarray,
 def process_clusters(graph: AffinityGraph, labels: np.ndarray,
                      best: BestMatches, transform: SceneTransform,
                      config: L3DConfig, max_segments: int,
-                     verbose: bool = False) -> list:
-    """Turn cluster labels into FinalLine3D results."""
+                     verbose: bool = False, refine: bool = False,
+                     scene_segments: np.ndarray | None = None,
+                     P_cond: np.ndarray | None = None) -> list:
+    """Turn cluster labels into FinalLine3D results.
+
+    With refine=True (an additive capability beyond the reference), each
+    cluster's 3D line is bundle-adjusted against its member 2D segments
+    (fit.refine) before the sweep, and the emitted endpoints are snapped
+    onto the refined line; requires scene_segments [V,S,4] and the
+    conditioned-space projection matrices P_cond [V,3,4] (float64).
+    """
     if graph.num_nodes == 0:
         return []
 
@@ -143,11 +152,46 @@ def process_clusters(graph: AffinityGraph, labels: np.ndarray,
     for n in order:
         members[int(labels[n])].append(int(n))
 
-    n_valid = 0
+    # collect valid clusters (>= min cameras) in label order
+    kept = []
     for cl, nodes in sorted(members.items()):
         views = graph.node_view[nodes]
         if len(np.unique(views)) < config.min_cameras_per_cluster:
             continue
+        kept.append((np.asarray(nodes), views))
+
+    refined = None
+    if refine and kept:
+        from . import refine as refine_mod
+        # initial fits in CONDITIONED space (better numerics), then
+        # batched Gauss-Newton against member 2D segments
+        P0s, ds = [], []
+        mviews, msegs = [], []
+        for nodes, views in kept:
+            rows = node_rows[nodes]
+            pts_c = np.concatenate([best.P1[rows], best.P2[rows]])
+            P0, dv = fit_line_direction(pts_c)
+            P0s.append(P0)
+            ds.append(dv)
+            mviews.append(views)
+            msegs.append(graph.node_seg[nodes])
+        Pm, p1, p2, mask = refine_mod.build_cluster_member_data(
+            mviews, msegs, scene_segments, P_cond)
+        P0r, dr, rms_b, rms_a = refine_mod.refine_lines(
+            np.stack(P0s), np.stack(ds), Pm, p1, p2, mask)
+        if verbose:
+            print(f"[L3D] refinement: median rms {np.median(rms_b):.3f} -> "
+                  f"{np.median(rms_a):.3f} px over {len(kept)} lines")
+        # map refined lines back to the original frame:
+        # X = R^T (X'/s - t) => point maps through inverse_transform, and
+        # directions map as R^T d (scale cancels under normalization)
+        P0r = transform.inverse_transform_points(P0r)
+        dr = (dr * transform.scale_inv) @ transform.Rinv.T
+        dr /= np.linalg.norm(dr, axis=1, keepdims=True)
+        refined = (P0r, dr)
+
+    n_valid = 0
+    for ci, (nodes, views) in enumerate(kept):
         # the reference keys members by (view, seg) in a map — duplicates
         # collapse; node ids are unique per (view, seg) already.
         rows = node_rows[nodes]
@@ -159,7 +203,12 @@ def process_clusters(graph: AffinityGraph, labels: np.ndarray,
         seg_ids = np.repeat(np.arange(len(rows)), 2)
         cam_ids = np.repeat(views, 2)
 
-        lineP, lined = fit_line_direction(pts)
+        if refined is not None:
+            lineP, lined = refined[0][ci], refined[1][ci]
+            # snap member endpoints onto the refined line before sweeping
+            pts = lineP + ((pts - lineP) @ lined)[:, None] * lined
+        else:
+            lineP, lined = fit_line_direction(pts)
         segs3d = sweep_cluster(pts, seg_ids, cam_ids, lineP, lined,
                                config.min_cameras_open)
         if len(segs3d) > 0:

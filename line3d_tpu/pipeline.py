@@ -217,7 +217,9 @@ class Line3D:
                                    graph.edges_w, graph.num_nodes, cfg.fh_c)
             self.result = fit_lines.process_clusters(
                 graph, labels, best, self.transform, cfg,
-                scene.max_segments, verbose=self.verbose)
+                scene.max_segments, verbose=self.verbose,
+                refine=cfg.refine_lines,
+                scene_segments=scene.segments, P_cond=cams.P)
         else:
             self.result = []
         t3 = time.time()
