@@ -76,22 +76,7 @@ def _match_and_score_view(segs_src, mask_src, RtKinv_src, C_src,
         segs_src, mask_src, RtKinv_src, C_src,
         segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, nb_mask, m_pair)
 
-    N, S, mp = res["tgt_idx"].shape
-    # neighbor-major merge: ordering (cam asc, tgt asc) matches the
-    # reference's sortMatchingPairs (sparsematrix.h:68-79)
-    cam_full = jnp.broadcast_to(
-        jnp.arange(N, dtype=jnp.int32)[:, None, None], (N, S, mp))
-    cam_full = jnp.transpose(cam_full, (1, 0, 2)).reshape(S, N * mp)
-    tgt_full = jnp.transpose(res["tgt_idx"], (1, 0, 2)).reshape(S, N * mp)
-    depths_full = jnp.transpose(res["depths"], (1, 0, 2, 3)).reshape(S, N * mp, 4)
-    valid_full = jnp.transpose(res["valid"], (1, 0, 2)).reshape(S, N * mp)
-
-    m_total = min(m_total, N * mp)
-    _, sel = jax.lax.top_k(valid_full.astype(jnp.int32), m_total)
-    valid = jnp.take_along_axis(valid_full, sel, axis=1)
-    cam = jnp.where(valid, jnp.take_along_axis(cam_full, sel, axis=1), -1)
-    tgt = jnp.where(valid, jnp.take_along_axis(tgt_full, sel, axis=1), -1)
-    depths = jnp.take_along_axis(depths_full, sel[:, :, None], axis=1)
+    cam, tgt, depths, valid = pairwise.merge_neighbor_tables(res, m_total)
 
     conf = scoring.score_matches(
         segs_src, mask_src, RtKinv_src, C_src,
@@ -99,7 +84,8 @@ def _match_and_score_view(segs_src, mask_src, RtKinv_src, C_src,
         sigma_p, sigma_a, spatial_k, row_chunk=row_chunk)
 
     total_overflow = res["overflow"]
-    dropped = jnp.maximum(jnp.sum(valid_full, axis=1) - m_total, 0)
+    n_all = jnp.sum(res["valid"], axis=(0, 2))       # per src seg, all nbrs
+    dropped = jnp.maximum(n_all - cam.shape[1], 0)
     total_overflow = jnp.sum(total_overflow) + jnp.sum(dropped)
     return cam, tgt, depths, valid, conf, total_overflow
 

@@ -231,24 +231,64 @@ def compact_rows(depths, valid, m_cap):
 
     Replaces the host-side sort + offset-table build of the reference
     (cudawrapper.cu:926-1007).  Valid matches are kept in ascending target
-    index order (jax.lax.top_k on equal keys is stable, lowest index first),
-    which matches the reference's (segID1, camID2, segID2) sort.
+    index order, matching the reference's (segID1, camID2, segID2) sort.
+
+    Implemented as ONE multi-operand lax.sort carrying the depth planes
+    alongside the key: a top_k + take_along_axis formulation costs ~3x more
+    on TPU because lane-axis gathers are slow (see tests/prof notes);
+    sorting permutes the payload in the same pass.
 
     Returns (tgt_idx [Ss, m_cap] int32 (-1 pad), depths_g [Ss, m_cap, 4],
              kept_valid [Ss, m_cap] bool, n_valid [Ss] int32).
     """
+    St = valid.shape[1]
+    m_cap = min(m_cap, St)
     n_valid = jnp.sum(valid, axis=1).astype(jnp.int32)
-    key = valid.astype(jnp.int32)
-    m_cap = min(m_cap, valid.shape[1])
-    _, idx = jax.lax.top_k(key, m_cap)                 # stable: low idx first
-    kept_valid = jnp.take_along_axis(valid, idx, axis=1)
+    j = jax.lax.broadcasted_iota(jnp.int32, valid.shape, 1)
+    key = jnp.where(valid, j, St + j)    # valid entries first, ascending j
     if isinstance(depths, tuple):
-        planes = [jnp.take_along_axis(d, idx, axis=1) for d in depths]
-        depths_g = jnp.stack(planes, axis=-1)          # [Ss, m_cap, 4]
+        planes = depths
     else:
-        depths_g = jnp.take_along_axis(depths, idx[:, :, None], axis=1)
-    tgt_idx = jnp.where(kept_valid, idx, -1).astype(jnp.int32)
+        planes = tuple(depths[..., k] for k in range(depths.shape[-1]))
+    sorted_ops = jax.lax.sort((key,) + planes, dimension=1, num_keys=1)
+    skey = sorted_ops[0][:, :m_cap]
+    depths_g = jnp.stack([p[:, :m_cap] for p in sorted_ops[1:]], axis=-1)
+    kept_valid = skey < St
+    tgt_idx = jnp.where(kept_valid, skey, -1).astype(jnp.int32)
     return tgt_idx, depths_g, kept_valid, n_valid
+
+
+def merge_neighbor_tables(res: dict, m_total: int):
+    """Merge per-neighbor compacted tables [N, S, mp] into one per-source
+    table [S, M] ordered by (neighbor, target) ascending — the reference's
+    sortMatchingPairs order (sparsematrix.h:68-79).
+
+    Multi-operand sort (see compact_rows) instead of top_k + gathers.
+
+    Returns (cam [S, M] int32, tgt [S, M] int32, depths [S, M, 4],
+             valid [S, M] bool).
+    """
+    N, S, mp = res["tgt_idx"].shape
+    K = N * mp
+    cam_full = jnp.broadcast_to(
+        jnp.arange(N, dtype=jnp.int32)[:, None, None], (N, S, mp))
+    cam_full = jnp.transpose(cam_full, (1, 0, 2)).reshape(S, K)
+    tgt_full = jnp.transpose(res["tgt_idx"], (1, 0, 2)).reshape(S, K)
+    valid_full = jnp.transpose(res["valid"], (1, 0, 2)).reshape(S, K)
+    depths_full = jnp.transpose(res["depths"], (1, 0, 2, 3)).reshape(S, K, 4)
+
+    m_total = min(m_total, K)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (S, K), 1)
+    key = jnp.where(valid_full, pos, K + pos)
+    ops = (key, cam_full, tgt_full) + tuple(
+        depths_full[..., k] for k in range(4))
+    sorted_ops = jax.lax.sort(ops, dimension=1, num_keys=1)
+    skey = sorted_ops[0][:, :m_total]
+    valid = skey < K
+    cam = jnp.where(valid, sorted_ops[1][:, :m_total], -1)
+    tgt = jnp.where(valid, sorted_ops[2][:, :m_total], -1)
+    depths = jnp.stack([p[:, :m_total] for p in sorted_ops[3:]], axis=-1)
+    return cam, tgt, depths, valid
 
 
 def use_pallas() -> bool:

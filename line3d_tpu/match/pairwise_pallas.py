@@ -188,7 +188,7 @@ def _kernel(params_ref, segs_src_ref, segs_tgtT_ref, mask_src_ref,
 def match_pair_dense_pallas(segs_src, segs_tgt, mask_src, mask_tgt,
                             F, RtKinv_src, RtKinv_tgt, C_src, C_tgt,
                             min_overlap_lower=0.10, min_overlap_upper=0.30,
-                            block_s: int = 256, block_t: int = 512,
+                            block_s: int = 256, block_t: int = 256,
                             interpret: bool = False):
     """Drop-in replacement for pairwise.match_pair_dense on TPU.
 

@@ -34,11 +34,19 @@ from ..core import geometry as g
 EPS = g.EPS
 
 
-def _gather_m2(T, cam):
-    """out[s, m, m2] = T[s, m, cam[s, m2]] for T [Sc, M, N]."""
-    idx = jnp.maximum(cam, 0)[:, None, :]          # [Sc, 1, M2]
-    idx = jnp.broadcast_to(idx, (T.shape[0], T.shape[1], idx.shape[2]))
-    return jnp.take_along_axis(T, idx, axis=2)
+def _gather_m2(T, onehot):
+    """out[s, m, m2] = T[s, m, cam[s, m2]] for T [Sc, M, N].
+
+    Expressed as a one-hot contraction over the tiny camera axis (N ~ 10):
+    an MXU matmul instead of an XLA gather — per-element gathers along a
+    non-lane axis are catastrophically slow on TPU (~1000x here).
+    onehot: [Sc, M2, N] float32 with onehot[s, k, cam[s, k]] = 1.
+    HIGHEST precision: the default MXU path truncates f32 operands to bf16,
+    which would round the gathered values.
+    """
+    return jnp.einsum("smn,skn->smk", T, onehot,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def score_matches(segs_src, mask_src, RtKinv_src, C_src,
@@ -106,16 +114,23 @@ def score_matches(segs_src, mask_src, RtKinv_src, C_src,
         plz = px1 * py2 - py1 * px2
         pl_den = jnp.maximum(jnp.sqrt(plx ** 2 + ply ** 2), EPS)
 
-        # gathers to [Sc, M, M]: value index m, camera index cam[m2]
-        px1g = _gather_m2(px1, camc)
-        py1g = _gather_m2(py1, camc)
-        px2g = _gather_m2(px2, camc)
-        py2g = _gather_m2(py2, camc)
-        plxg = _gather_m2(plx, camc)
-        plyg = _gather_m2(ply, camc)
-        plzg = _gather_m2(plz, camc)
-        pldg = _gather_m2(pl_den, camc)
-        pokg = _gather_m2(pok.astype(jnp.float32), camc) > 0.5
+        # "gathers" to [Sc, M, M]: value index m, camera index cam[m2] —
+        # one-hot MXU contractions over the camera axis
+        onehot = (camc[:, :, None] ==
+                  jnp.arange(N, dtype=jnp.int32)[None, None, :]
+                  ).astype(jnp.float32)              # [Sc, M2, N]
+        px1g = _gather_m2(px1, onehot)
+        py1g = _gather_m2(py1, onehot)
+        px2g = _gather_m2(px2, onehot)
+        py2g = _gather_m2(py2, onehot)
+        plxg = _gather_m2(plx, onehot)
+        plyg = _gather_m2(ply, onehot)
+        plzg = _gather_m2(plz, onehot)
+        pldg = _gather_m2(pl_den, onehot)
+        # invalid cam slots (-1) produce all-zero one-hot rows -> pldg 0;
+        # guard the division
+        pldg = jnp.maximum(pldg, EPS)
+        pokg = _gather_m2(pok.astype(jnp.float32), onehot) > 0.5
 
         # distance: projected endpoints of m vs m2's target line (broadcast
         # m2 quantities along the m axis)
@@ -137,9 +152,10 @@ def score_matches(segs_src, mask_src, RtKinv_src, C_src,
         dist = jnp.maximum(jnp.maximum(da1, da2), jnp.maximum(db1, db2))
         conf_pos = jnp.exp(-dist * dist / sig_p2)
 
-        # 3D angle via dot of normalized directions (MXU matmul)
+        # 3D angle via dot of normalized directions (MXU matmul, exact f32)
         dots = jnp.einsum("smk,snk->smn", dirn, dirn,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
         ang = jnp.degrees(jnp.arccos(jnp.clip(dots, -1.0, 1.0)))
         ang = jnp.where(ang > 90.0, 180.0 - ang, ang)
         conf_ang = jnp.exp(-ang * ang / sig_a2)

@@ -1,0 +1,73 @@
+"""Multi-host orchestration for pod-slice runs.
+
+The reference is strictly single-process (SURVEY.md §2); scaling line3d_tpu
+beyond one host follows the standard JAX SPMD recipe:
+
+  1. every host calls `initialize()` (jax.distributed) with the same
+     coordinator,
+  2. every host loads the full scene METADATA (cameras, neighbor lists —
+     tiny) but only detects segments for its own view shard
+     (`my_view_range`), then all-gathers the padded segment tensor
+     (`allgather_segments`) so the replicated [V, S, 4] layout the matching
+     engine expects holds globally,
+  3. the matching mesh spans all hosts' devices; jax.sharding places each
+     view's work on the device that owns its shard and XLA routes any
+     cross-host traffic over DCN,
+  4. clustering inputs (verified-match exports) are gathered to host 0,
+     which runs the (cheap, sequential) affinity + union-find + fit stages
+     and writes the result.
+
+Host-side stages after matching are O(verified matches) and run on one
+host — the same asymmetry the reference has between its GPU hot loops and
+CPU bookkeeping.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None):
+    """Initialize jax.distributed (no-op if single-process or already up)."""
+    import jax
+    if num_processes in (None, 1):
+        return False
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True
+
+
+def my_view_range(num_views: int, process_id: int, num_processes: int):
+    """Contiguous view shard [start, end) for this host (detection split)."""
+    per = (num_views + num_processes - 1) // num_processes
+    start = min(process_id * per, num_views)
+    return start, min(start + per, num_views)
+
+
+def allgather_segments(local_segments: np.ndarray, local_mask: np.ndarray,
+                       start: int, num_views: int):
+    """All-gather per-host segment shards into the replicated [V, S, 4]
+    tensor via jax.experimental.multihost_utils.
+
+    local_segments: [V_local, S, 4] detected by this host for views
+    [start, start + V_local).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    V_local, S, _ = local_segments.shape
+    segs = np.zeros((num_views, S, 4), np.float32)
+    mask = np.zeros((num_views, S), bool)
+    segs[start:start + V_local] = local_segments
+    mask[start:start + V_local] = local_mask
+    # sum-reduce across hosts: each host contributed a disjoint slice
+    out = multihost_utils.process_allgather(
+        (jnp.asarray(segs), jnp.asarray(mask.astype(np.float32))))
+    segs_all = np.asarray(out[0]).sum(axis=0) if out[0].ndim == 4 else \
+        np.asarray(out[0])
+    mask_all = np.asarray(out[1]).sum(axis=0) > 0.5 if out[1].ndim == 3 else \
+        np.asarray(out[1]) > 0.5
+    return segs_all.astype(np.float32), mask_all

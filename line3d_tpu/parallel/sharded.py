@@ -47,20 +47,7 @@ def _single_view_step(segments, seg_mask, args, m_pair, m_total, row_chunk,
         segs_src, mask_src & view_active, RtKinv_src, C_src,
         segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, nb_mask, m_pair)
 
-    N, S, mp = res["tgt_idx"].shape
-    cam_full = jnp.broadcast_to(
-        jnp.arange(N, dtype=jnp.int32)[:, None, None], (N, S, mp))
-    cam_full = jnp.transpose(cam_full, (1, 0, 2)).reshape(S, N * mp)
-    tgt_full = jnp.transpose(res["tgt_idx"], (1, 0, 2)).reshape(S, N * mp)
-    depths_full = jnp.transpose(res["depths"], (1, 0, 2, 3)).reshape(S, N * mp, 4)
-    valid_full = jnp.transpose(res["valid"], (1, 0, 2)).reshape(S, N * mp)
-
-    m_total = min(m_total, N * mp)
-    _, sel = jax.lax.top_k(valid_full.astype(jnp.int32), m_total)
-    valid = jnp.take_along_axis(valid_full, sel, axis=1)
-    cam = jnp.where(valid, jnp.take_along_axis(cam_full, sel, axis=1), -1)
-    tgt = jnp.where(valid, jnp.take_along_axis(tgt_full, sel, axis=1), -1)
-    depths = jnp.take_along_axis(depths_full, sel[:, :, None], axis=1)
+    cam, tgt, depths, valid = pairwise.merge_neighbor_tables(res, m_total)
 
     conf = scoring.score_matches(
         segs_src, mask_src, RtKinv_src, C_src,
