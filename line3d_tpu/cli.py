@@ -15,6 +15,12 @@ import sys
 
 import numpy as np
 
+# persistent XLA compilation cache: first compile of the scene-scale
+# matching program takes minutes; subsequent runs (same shapes) are instant
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/line3d_tpu_xla"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
 from .config import L3DConfig
 from .pipeline import Line3D
 from .io import bundler as bundler_io, nvm as nvm_io, images as img_io

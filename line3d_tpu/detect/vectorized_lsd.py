@@ -295,6 +295,21 @@ def _fit_components(stats, xs, ys, flat_label, defined, prec):
                 density=density, ang_std=ang_std)
 
 
+def _detect_device():
+    """Device for the detection programs.  The connected-components label
+    propagation is gather-heavy; gathers are ~5x faster on the host CPU
+    than on the TPU (and detection is per-image parallel across hosts while
+    the TPU runs matching).  Override with LINE3D_DETECT_DEVICE=default."""
+    import os
+    import jax
+    if os.environ.get("LINE3D_DETECT_DEVICE", "cpu") != "cpu":
+        return None
+    try:
+        return jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return None
+
+
 def detect(image_gray: np.ndarray) -> np.ndarray:
     """Run vectorized LSD on a float grayscale image.
 
@@ -306,6 +321,15 @@ def detect(image_gray: np.ndarray) -> np.ndarray:
     LSD's refine() (lsd_opencv.cpp:884-930), which separates near-parallel
     crossing lines that single-linkage merges.
     """
+    import jax as _jax
+    dev = _detect_device()
+    if dev is not None:
+        with _jax.default_device(dev):
+            return _detect_impl(image_gray)
+    return _detect_impl(image_gray)
+
+
+def _detect_impl(image_gray: np.ndarray) -> np.ndarray:
     H, W = image_gray.shape
     out_h = int(math.ceil(H * SCALE))
     out_w = int(math.ceil(W * SCALE))
