@@ -134,10 +134,17 @@ def _connected_components(angle: jnp.ndarray, defined: jnp.ndarray,
             # note: padded[BIG] = BIG keeps undefined stable
         return padded[:-1].reshape(lab.shape)
 
-    def body(i, lab):
-        return compress(jnp.minimum(lab, hook(lab)))
+    def cond(state):
+        i, lab, changed = state
+        return (i < rounds) & changed
 
-    label = jax.lax.fori_loop(0, rounds, body, label)
+    def body(state):
+        i, lab, _ = state
+        new = compress(jnp.minimum(lab, hook(lab)))
+        return i + 1, new, jnp.any(new != lab)
+
+    _, label, _ = jax.lax.while_loop(cond, body,
+                                     (jnp.int32(0), label, jnp.bool_(True)))
     return label
 
 

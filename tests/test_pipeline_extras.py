@@ -1,0 +1,70 @@
+"""Pipeline extras: fixed view similarity path, larger view counts, stats."""
+import numpy as np
+
+from line3d_tpu import Line3D, L3DConfig
+from line3d_tpu.scene import view_similarities_from_worldpoints
+from synthetic import make_scene
+
+
+def test_fixed_view_similarity_path():
+    """addImage_fixed_sim equivalent (line3D.cc:220-342): the pipeline runs
+    from externally supplied view similarities instead of worldpoints."""
+    syn = make_scene(num_views=8)
+    sim, _ = view_similarities_from_worldpoints(syn.wp_lists,
+                                                syn.scene.num_views)
+    l3d = Line3D(config=L3DConfig(use_collinearity=False))
+    for v in range(syn.scene.num_views):
+        l3d.add_view_segments(
+            v, syn.scene.segments[v][syn.scene.seg_mask[v]],
+            syn.cameras.K[v].copy(), syn.cameras.R[v].copy(),
+            syn.cameras.t[v].copy(), worldpoint_ids=None,
+            width=640, height=480)
+        l3d.set_view_similarity(
+            v, {n: float(sim[v, n]) for n in range(syn.scene.num_views)
+                if n != v})
+    res = l3d.compute_3d_model(perform_diffusion=False)
+    assert len(res) >= 8
+    errs = []
+    for line in res:
+        pts = line.segments3d.reshape(-1, 3)
+        best = min(np.linalg.norm(
+            np.cross(pts - A, (B - A) / np.linalg.norm(B - A)),
+            axis=1).mean() for A, B in syn.lines3d)
+        errs.append(best)
+    assert np.median(errs) < 0.01
+
+
+def test_many_views_scale():
+    """64 views on the 8-device mesh — exercises view padding + sharding at
+    a size that does not divide anything conveniently (64 = 8x8 here, but
+    neighbor counts vary per view)."""
+    syn = make_scene(num_views=64, radius=5.0)
+    l3d = Line3D(config=L3DConfig(use_collinearity=False,
+                                  matching_neighbors=6))
+    for v in range(syn.scene.num_views):
+        l3d.add_view_segments(
+            v, syn.scene.segments[v][syn.scene.seg_mask[v]],
+            syn.cameras.K[v].copy(), syn.cameras.R[v].copy(),
+            syn.cameras.t[v].copy(), worldpoint_ids=syn.wp_lists[v],
+            width=640, height=480)
+    res = l3d.compute_3d_model(perform_diffusion=False)
+    assert len(res) >= 8
+    assert l3d.stats["num_views"] == 64
+    # every line is seen from >= 4 distinct cameras
+    for line in res:
+        assert len(np.unique(line.views2d)) >= 4
+
+
+def test_stats_populated():
+    syn = make_scene(num_views=6)
+    l3d = Line3D(config=L3DConfig(use_collinearity=False))
+    for v in range(syn.scene.num_views):
+        l3d.add_view_segments(
+            v, syn.scene.segments[v][syn.scene.seg_mask[v]],
+            syn.cameras.K[v].copy(), syn.cameras.R[v].copy(),
+            syn.cameras.t[v].copy(), worldpoint_ids=syn.wp_lists[v],
+            width=640, height=480)
+    l3d.compute_3d_model()
+    for key in ("num_views", "num_best", "num_edges", "num_lines",
+                "t_match", "t_cluster", "t_total"):
+        assert key in l3d.stats
