@@ -13,7 +13,6 @@ import argparse
 import os
 import sys
 
-import numpy as np
 
 # persistent XLA compilation cache: first compile of the scene-scale
 # matching program takes minutes; subsequent runs (same shapes) are instant

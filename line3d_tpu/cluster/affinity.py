@@ -29,7 +29,7 @@ import numpy as np
 
 from ..config import L3DConfig
 from ..core.cameras import CameraSet
-from ..match.engine import BestMatches, ViewMatches
+from ..match.engine import BestMatches
 
 
 @dataclasses.dataclass

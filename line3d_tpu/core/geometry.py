@@ -14,7 +14,6 @@ Conventions:
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 EPS = 1e-12  # L3D_EPS_G (cudawrapper.h:43)

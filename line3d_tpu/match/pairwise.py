@@ -18,8 +18,6 @@ Semantics per (src segment p, tgt segment q):
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -24,7 +24,7 @@ MXU matmul) over row-chunks of the segment axis.
 """
 from __future__ import annotations
 
-import functools
+
 
 import jax
 import jax.numpy as jnp

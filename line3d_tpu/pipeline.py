@@ -106,9 +106,12 @@ class Line3D:
                 cfg.use_collinearity)
             segs = seg_cache.load_segments(cache_file)
         if segs is None:
+            t0 = time.time()
             min_len = cfg.min_line_length_factor * np.hypot(h, w)
             segs = detector.detect_line_segments(
                 img, new_w, new_h, min_len, cfg.max_num_segments)
+            self.stats["t_detect"] = self.stats.get("t_detect", 0.0) + \
+                (time.time() - t0)
             if cache_file:
                 seg_cache.save_segments(cache_file, segs)
 
@@ -229,6 +232,7 @@ class Line3D:
             num_best=int(best.view.size),
             num_edges=int(len(graph.edges_w)),
             num_lines=len(self.result),
+            t_detect=self.stats.get("t_detect", 0.0),
             t_match=t2 - t1, t_cluster=t3 - t2, t_total=t3 - t0)
         if self.verbose:
             print(f"[L3D] {len(self.result)} 3D lines found! "

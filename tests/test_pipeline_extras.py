@@ -55,6 +55,33 @@ def test_many_views_scale():
         assert len(np.unique(line.views2d)) >= 4
 
 
+def test_determinism():
+    """Identical inputs -> byte-identical TXT output (the reference gets
+    reproducibility only via its segment cache, SURVEY.md §4)."""
+    import io as _io
+    from line3d_tpu.io import writers
+
+    def run():
+        syn = make_scene(num_views=8)
+        l3d = Line3D(config=L3DConfig(use_collinearity=True))
+        for v in range(syn.scene.num_views):
+            l3d.add_view_segments(
+                v, syn.scene.segments[v][syn.scene.seg_mask[v]],
+                syn.cameras.K[v].copy(), syn.cameras.R[v].copy(),
+                syn.cameras.t[v].copy(), worldpoint_ids=syn.wp_lists[v],
+                width=640, height=480)
+        res = l3d.compute_3d_model()
+        import tempfile, os
+        fd, path = tempfile.mkstemp(suffix=".txt")
+        os.close(fd)
+        l3d.save_3d_lines_as_txt(res, path)
+        data = open(path, "rb").read()
+        os.unlink(path)
+        return data
+
+    assert run() == run()
+
+
 def test_stats_populated():
     syn = make_scene(num_views=6)
     l3d = Line3D(config=L3DConfig(use_collinearity=False))
