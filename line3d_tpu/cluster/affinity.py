@@ -108,6 +108,81 @@ def potential_correspondence_lists(matches: list, num_views: int,
     return adj
 
 
+def _build_affinity_graph_fast(best, adj, row_of, key_of, cams, config,
+                               verbose):
+    """Fully-vectorized A-candidate path (no collinearity).
+
+    Without collinear candidates the traversal is src ascending x partner
+    ascending, so the first visit of an unordered pair (a, b), a < b, is at
+    src = a if a has a best match (all sources do), else at src = b.  Hence
+    the `used` dedup reduces to: keep (src, tgt) iff src < tgt or tgt has no
+    best match (and pairs without a best-match tgt produce no edge anyway).
+    Candidate order, weights, thresholds, and node-id assignment match the
+    loop path exactly (covered by tests/test_affinity.py).
+    """
+    # flatten adjacency into arrays in (src_rank, tgt) order
+    order = np.argsort(key_of, kind="stable")
+    srcs, tgts = [], []
+    for r in order:
+        partners = adj.get(int(key_of[r]))
+        if partners is None:
+            continue
+        srcs.append(np.full(len(partners), r, np.int64))
+        tgts.append(partners)
+    if not srcs:
+        return AffinityGraph(np.zeros(0, np.int32), np.zeros(0, np.int32),
+                             np.zeros(0, np.float32),
+                             np.zeros(0, np.int32), np.zeros(0, np.int32), 0)
+    src_rows = np.concatenate(srcs)
+    tgt_keys = np.concatenate(tgts)
+
+    # partner -> best row.  Edges require BOTH ends to have best matches;
+    # such pairs are first visited at the smaller key, so dedup = src < tgt.
+    # (Pairs whose smaller end lacks a best match are first visited at the
+    # larger end, but they produce no edge regardless.)
+    tgt_rows = np.array([row_of.get(int(k), -1) for k in tgt_keys], np.int64)
+    src_keys = key_of[src_rows]
+    keep = (tgt_rows >= 0) & (src_keys < tgt_keys)
+    src_rows = src_rows[keep]
+    tgt_rows = tgt_rows[keep]
+
+    sim = similarity_coll3d(cams, best, src_rows, tgt_rows, config.sigma_a)
+    w = 0.5 * (best.score[src_rows].astype(np.float64) +
+               best.score[tgt_rows].astype(np.float64)) * sim
+    passed = w > config.min_affinity
+    src_rows, tgt_rows, w = src_rows[passed], tgt_rows[passed], w[passed]
+
+    # node ids in emission order: first occurrence over the interleaved
+    # (src, tgt) sequence
+    seq = np.empty(2 * len(src_rows), np.int64)
+    seq[0::2] = src_rows
+    seq[1::2] = tgt_rows
+    uniq, first = np.unique(seq, return_index=True)
+    id_order = np.argsort(first, kind="stable")
+    node_rows = uniq[id_order]
+    node_of = np.full(best.view.size, -1, np.int64)
+    node_of[node_rows] = np.arange(len(node_rows))
+
+    a = node_of[src_rows]
+    b = node_of[tgt_rows]
+    E = len(a)
+    ei = np.empty(2 * E, np.int32)
+    ej = np.empty(2 * E, np.int32)
+    ew = np.empty(2 * E, np.float32)
+    ei[0::2] = a; ej[0::2] = b
+    ei[1::2] = b; ej[1::2] = a
+    ew[0::2] = w; ew[1::2] = w
+
+    if verbose:
+        print(f"[L3D] A: #num_entries = {len(ei)}")
+        print(f"[L3D] A: #num_rows    = {len(node_rows)}")
+    return AffinityGraph(
+        edges_i=ei, edges_j=ej, edges_w=ew,
+        node_view=best.view[node_rows].astype(np.int32),
+        node_seg=best.seg[node_rows].astype(np.int32),
+        num_nodes=len(node_rows))
+
+
 def build_affinity_graph(best: BestMatches, matches: list,
                          collin: list | None, cams: CameraSet,
                          config: L3DConfig, max_segments: int,
@@ -126,6 +201,10 @@ def build_affinity_graph(best: BestMatches, matches: list,
         if not m:
             return ()
         return sorted(m.items())
+
+    if collin is None or all(not c for c in collin):
+        return _build_affinity_graph_fast(best, adj, row_of, key_of, cams,
+                                          config, verbose)
 
     # ---- enumeration (exact reference traversal order) -------------------
     used = set()
