@@ -185,20 +185,15 @@ def _cc_and_stats(norm, angle, defined, prec_map):
     ca = jnp.cos(angle).reshape(-1)
     sa = jnp.sin(angle).reshape(-1)
 
-    seg = functools.partial(jax.ops.segment_sum, num_segments=NB,
-                            indices_are_sorted=False)
     lab = jnp.minimum(flat_label, NB - 1)
-    stats = dict(
-        count=seg(dflat.astype(jnp.float32), lab),
-        sw=seg(w, lab),
-        swx=seg(w * xs, lab),
-        swy=seg(w * ys, lab),
-        swxx=seg(w * xs * xs, lab),
-        swyy=seg(w * ys * ys, lab),
-        swxy=seg(w * xs * ys, lab),
-        sca=seg(jnp.where(dflat, ca, 0.0), lab),
-        ssa=seg(jnp.where(dflat, sa, 0.0), lab),
-    )
+    fields = jnp.stack([
+        dflat.astype(jnp.float32), w, w * xs, w * ys,
+        w * xs * xs, w * ys * ys, w * xs * ys,
+        jnp.where(dflat, ca, 0.0), jnp.where(dflat, sa, 0.0)], axis=1)
+    sums = jax.ops.segment_sum(fields, lab, num_segments=NB)  # one pass
+    keys = ("count", "sw", "swx", "swy", "swxx", "swyy", "swxy",
+            "sca", "ssa")
+    stats = {k: sums[:, i] for i, k in enumerate(keys)}
     return stats, flat_label, xs, ys, dflat
 
 
@@ -222,6 +217,67 @@ def _region_extents(xs, ys, flat_label, defined, cx, cy, dx, dy, nb):
     wd_max = jax.ops.segment_max(jnp.where(defined, wd, -big), lab,
                                  num_segments=NB)
     return l_min, l_max, wd_min, wd_max
+
+
+def _emit_candidates(cands, p, log_nt):
+    """Shared NFA filter + endpoint emission over (fit, ids) pairs."""
+    out = []
+    for fit, ids in cands:
+        if len(ids) == 0:
+            continue
+        n_pix = np.ceil(fit["length"][ids]) * np.ceil(fit["width"][ids])
+        log_nfa = _nfa_log10(n_pix, fit["count"][ids], p, log_nt)
+        keep = log_nfa > LOG_EPS
+        ids = ids[keep]
+        log_nfa = log_nfa[keep]
+        x1 = fit["cx"][ids] + fit["l_min"][ids] * fit["dx"][ids] + 0.5
+        y1 = fit["cy"][ids] + fit["l_min"][ids] * fit["dy"][ids] + 0.5
+        x2 = fit["cx"][ids] + fit["l_max"][ids] * fit["dx"][ids] + 0.5
+        y2 = fit["cy"][ids] + fit["l_max"][ids] * fit["dy"][ids] + 0.5
+        inv = 1.0 / SCALE
+        out.append(np.stack([x1 * inv, y1 * inv, x2 * inv, y2 * inv,
+                             log_nfa], axis=1).astype(np.float32))
+    if not out:
+        return np.zeros((0, 5), np.float32)
+    return np.concatenate(out, axis=0)
+
+
+def _detect_native(lib, norm, angle, defined, prec, p, log_nt,
+                   min_reg_size):
+    """Host-native detection back half: union-find CC + moments + extents
+    in C++, with the same tolerance-halving refinement ladder."""
+    H, W = angle.shape
+    tol = np.full((H, W), prec, np.float32)
+    fit1, labels = _cc_and_fit_native(lib, norm, angle, defined, tol, prec)
+    if fit1 is None:
+        return np.zeros((0, 5), np.float32)
+
+    big = fit1["count"] >= min_reg_size
+    cands = [(fit1, np.nonzero(big & (fit1["density"] >= DENSITY_TH))[0])]
+
+    cur_fail = big & (fit1["density"] < DENSITY_TH)
+    cur_labels = labels
+    t = prec
+    for _ in range(3):
+        if not cur_fail.any():
+            break
+        t = t / 2.0
+        lab_ok = cur_labels >= 0
+        pix_in = np.zeros((H, W), bool)
+        pix_in[lab_ok] = cur_fail[cur_labels[lab_ok]]
+        pix_in &= defined
+        if pix_in.sum() < min_reg_size:
+            break
+        fit_k, labels_k = _cc_and_fit_native(
+            lib, norm, angle, pix_in, np.full((H, W), t, np.float32), prec)
+        if fit_k is None:
+            break
+        big_k = fit_k["count"] >= min_reg_size
+        cands.append((fit_k,
+                      np.nonzero(big_k & (fit_k["density"] >= DENSITY_TH))[0]))
+        cur_fail = big_k & (fit_k["density"] < DENSITY_TH)
+        cur_labels = labels_k
+    return _emit_candidates(cands, p, log_nt)
 
 
 def _nfa_log10(n: np.ndarray, k: np.ndarray, p: float,
@@ -256,13 +312,11 @@ def _nfa_log10(n: np.ndarray, k: np.ndarray, p: float,
     return res
 
 
-def _fit_components(stats, xs, ys, flat_label, defined, prec):
-    """Rectangle fits for every component (host): centroid, inertia axis,
-    extents, density, circular angle std (region2rect/get_theta,
+def _moments_to_rect(stats, prec):
+    """Centroid + inertia axis from moment sums (region2rect/get_theta,
     lsd_opencv.cpp:788-882)."""
     count = np.asarray(stats["count"])
     sw = np.asarray(stats["sw"])
-    nb = count.shape[0]
     with np.errstate(divide="ignore", invalid="ignore"):
         cx = np.where(sw > 0, np.asarray(stats["swx"]) / sw, 0)
         cy = np.where(sw > 0, np.asarray(stats["swy"]) / sw, 0)
@@ -279,15 +333,11 @@ def _fit_components(stats, xs, ys, flat_label, defined, prec):
     reg_angle = np.arctan2(np.asarray(stats["ssa"]), np.asarray(stats["sca"]))
     d = np.abs(np.mod(theta - reg_angle + np.pi, 2 * np.pi) - np.pi)
     theta = np.where(d > prec, theta + np.pi, theta)
+    return count, sw, cx, cy, np.cos(theta), np.sin(theta)
 
-    dx = np.cos(theta).astype(np.float32)
-    dy = np.sin(theta).astype(np.float32)
 
-    l_min, l_max, wd_min, wd_max = [np.asarray(a) for a in _region_extents(
-        xs, ys, flat_label, defined,
-        jnp.asarray(cx, jnp.float32), jnp.asarray(cy, jnp.float32),
-        jnp.asarray(dx), jnp.asarray(dy), jnp.zeros(nb))]
-
+def _finalize_fit(stats, count, sw, cx, cy, dx, dy,
+                  l_min, l_max, wd_min, wd_max):
     length = l_max - l_min
     width = np.maximum(wd_max - wd_min, 1.0)
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -297,9 +347,56 @@ def _fit_components(stats, xs, ys, flat_label, defined, prec):
                     np.asarray(stats["ssa"]) ** 2) / np.maximum(count, 1)
     R = np.clip(R, 1e-6, 1.0 - 1e-9)
     ang_std = np.sqrt(-2.0 * np.log(R))
-    return dict(count=count, sw=sw, cx=cx, cy=cy, dx=dx, dy=dy,
+    return dict(count=count, sw=sw, cx=cx, cy=cy,
+                dx=dx.astype(np.float32), dy=dy.astype(np.float32),
                 l_min=l_min, l_max=l_max, length=length, width=width,
                 density=density, ang_std=ang_std)
+
+
+def _fit_components(stats, xs, ys, flat_label, defined, prec):
+    """Rectangle fits for every component (jax-extents path)."""
+    count, sw, cx, cy, dx, dy = _moments_to_rect(stats, prec)
+    nb = count.shape[0]
+    l_min, l_max, wd_min, wd_max = [np.asarray(a) for a in _region_extents(
+        xs, ys, flat_label, defined,
+        jnp.asarray(cx, jnp.float32), jnp.asarray(cy, jnp.float32),
+        jnp.asarray(dx, jnp.float32), jnp.asarray(dy, jnp.float32),
+        jnp.zeros(nb))]
+    return _finalize_fit(stats, count, sw, cx, cy, dx, dy,
+                         l_min, l_max, wd_min, wd_max)
+
+
+def _cc_and_fit_native(lib, norm, angle, defined, tol, prec):
+    """Native CC + moments + extents (host C++); returns (fit dict sized
+    [C], compact labels int32 [H, W] with -1 undefined)."""
+    H, W = angle.shape
+    labels = np.empty(H * W, np.int32)
+    C = int(lib.grid_cc_compact(
+        np.ascontiguousarray(angle.reshape(-1), np.float32),
+        np.ascontiguousarray(defined.reshape(-1).astype(np.uint8)),
+        np.ascontiguousarray(tol.reshape(-1), np.float32),
+        H, W, labels))
+    if C == 0:
+        return None, labels.reshape(H, W)
+    moments = np.zeros((C, 9), np.float64)
+    w = np.where(defined, norm, 0.0).astype(np.float32).reshape(-1)
+    lib.region_moments(labels, w,
+                       np.ascontiguousarray(angle.reshape(-1), np.float32),
+                       H, W, moments)
+    keys = ("count", "sw", "swx", "swy", "swxx", "swyy", "swxy",
+            "sca", "ssa")
+    stats = {k: moments[:, i] for i, k in enumerate(keys)}
+    count, sw, cx, cy, dx, dy = _moments_to_rect(stats, prec)
+    ext = np.empty((C, 4), np.float64)
+    ext[:, 0] = np.inf; ext[:, 1] = -np.inf
+    ext[:, 2] = np.inf; ext[:, 3] = -np.inf
+    lib.region_extents(labels, H, W,
+                       np.ascontiguousarray(cx), np.ascontiguousarray(cy),
+                       np.ascontiguousarray(dx), np.ascontiguousarray(dy),
+                       ext)
+    fit = _finalize_fit(stats, count, sw, cx, cy, dx, dy,
+                        ext[:, 0], ext[:, 1], ext[:, 2], ext[:, 3])
+    return fit, labels.reshape(H, W)
 
 
 def _detect_device():
@@ -350,6 +447,13 @@ def _detect_impl(image_gray: np.ndarray) -> np.ndarray:
     norm, angle, defined = _front(jnp.asarray(image_gray, jnp.float32),
                                   out_h, out_w)
 
+    from ..native import load as native_load
+    lib = native_load.get_lib()
+    if lib is not None:
+        return _detect_native(lib, np.asarray(norm), np.asarray(angle),
+                              np.asarray(defined), prec, p, log_nt,
+                              min_reg_size)
+
     stats, flat_label, xs, ys, dflat = _cc_and_stats(
         norm, angle, defined, jnp.float32(prec))
     fit1 = _fit_components(stats, xs, ys, flat_label, dflat, prec)
@@ -375,6 +479,8 @@ def _detect_impl(image_gray: np.ndarray) -> np.ndarray:
         tol = tol / 2.0
         lab_clip = np.minimum(cur_label, Hh * Ww - 1)
         pix_in = cur_fail[lab_clip] & np.asarray(dflat)
+        if pix_in.sum() < min_reg_size:
+            break
         defined_k = jnp.asarray(pix_in.reshape(Hh, Ww))
         stats_k, flat_label_k, _, _, dflat_k = _cc_and_stats(
             norm, angle, defined_k, jnp.float32(tol))
@@ -385,22 +491,4 @@ def _detect_impl(image_gray: np.ndarray) -> np.ndarray:
         cur_fail = big_k & (fit_k["density"] < DENSITY_TH)
         cur_label = np.asarray(flat_label_k)
 
-    out = []
-    for fit, ids in cands:
-        if len(ids) == 0:
-            continue
-        n_pix = np.ceil(fit["length"][ids]) * np.ceil(fit["width"][ids])
-        log_nfa = _nfa_log10(n_pix, fit["count"][ids], p, log_nt)
-        keep = log_nfa > LOG_EPS
-        ids = ids[keep]
-        log_nfa = log_nfa[keep]
-        x1 = fit["cx"][ids] + fit["l_min"][ids] * fit["dx"][ids] + 0.5
-        y1 = fit["cy"][ids] + fit["l_min"][ids] * fit["dy"][ids] + 0.5
-        x2 = fit["cx"][ids] + fit["l_max"][ids] * fit["dx"][ids] + 0.5
-        y2 = fit["cy"][ids] + fit["l_max"][ids] * fit["dy"][ids] + 0.5
-        inv = 1.0 / SCALE
-        out.append(np.stack([x1 * inv, y1 * inv, x2 * inv, y2 * inv,
-                             log_nfa], axis=1).astype(np.float32))
-    if not out:
-        return np.zeros((0, 5), np.float32)
-    return np.concatenate(out, axis=0)
+    return _emit_candidates(cands, p, log_nt)

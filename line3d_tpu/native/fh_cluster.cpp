@@ -9,8 +9,13 @@
 // sweep_events: the open/close camera-count sweep of projectToLine
 // (line3D.cc:1554-1596) for one cluster; events pre-sorted by distance.
 
+#include <cmath>
 #include <cstdint>
 #include <vector>
+
+#ifndef M_PI
+#define M_PI 3.14159265358979323846
+#endif
 
 extern "C" {
 
@@ -93,6 +98,130 @@ int64_t sweep_events(const int64_t* seg_id, const int64_t* cam_id,
         }
     }
     return count;
+}
+
+// ---------------------------------------------------------------------
+// Detection support: connected components over the pixel grid with a
+// pairwise gradient-angle gate (the line-support regions of the vectorized
+// LSD, detect/vectorized_lsd.py), plus per-component moment statistics and
+// axis-extent reductions.  These are host-sequential-friendly (exactly like
+// the reference's C++ LSD) and ~10x faster here than gather-based label
+// propagation on an accelerator.
+
+static inline double angle_diff(double a, double b) {
+    double d = a - b;
+    while (d > M_PI) d -= 2.0 * M_PI;
+    while (d < -M_PI) d += 2.0 * M_PI;
+    return d < 0 ? -d : d;
+}
+
+// 8-connected union-find CC where both pixels are defined and their angles
+// agree within min(tol_a, tol_b).  Writes compact component ids (or -1) and
+// returns the number of components.
+int64_t grid_cc_compact(const float* angle, const uint8_t* defined,
+                        const float* tol, int64_t H, int64_t W,
+                        int32_t* labels_out) {
+    const int64_t N = H * W;
+    std::vector<int32_t> parent(N);
+    for (int64_t i = 0; i < N; ++i) parent[i] = static_cast<int32_t>(i);
+
+    struct Find {
+        std::vector<int32_t>& p;
+        int32_t operator()(int32_t x) {
+            int32_t root = x;
+            while (p[root] != root) root = p[root];
+            while (p[x] != root) { int32_t nxt = p[x]; p[x] = root; x = nxt; }
+            return root;
+        }
+    } find{parent};
+
+    // forward neighbors: W, NW, N, NE (each undirected edge visited once)
+    const int64_t dy[4] = {0, -1, -1, -1};
+    const int64_t dx[4] = {-1, -1, 0, 1};
+    for (int64_t y = 0; y < H; ++y) {
+        for (int64_t x = 0; x < W; ++x) {
+            const int64_t i = y * W + x;
+            if (!defined[i]) continue;
+            const double ai = angle[i];
+            const double ti = tol[i];
+            for (int k = 0; k < 4; ++k) {
+                const int64_t ny = y + dy[k], nx = x + dx[k];
+                if (ny < 0 || nx < 0 || nx >= W) continue;
+                const int64_t j = ny * W + nx;
+                if (!defined[j]) continue;
+                const double t = ti < tol[j] ? ti : tol[j];
+                if (angle_diff(ai, angle[j]) <= t) {
+                    int32_t ra = find(static_cast<int32_t>(i));
+                    int32_t rb = find(static_cast<int32_t>(j));
+                    if (ra != rb) parent[rb] = ra;
+                }
+            }
+        }
+    }
+
+    // compact ids
+    std::vector<int32_t> compact(N, -1);
+    int32_t next_id = 0;
+    for (int64_t i = 0; i < N; ++i) {
+        if (!defined[i]) { labels_out[i] = -1; continue; }
+        int32_t r = find(static_cast<int32_t>(i));
+        if (compact[r] < 0) compact[r] = next_id++;
+        labels_out[i] = compact[r];
+    }
+    return next_id;
+}
+
+// per-component moments: count, sw, swx, swy, swxx, swyy, swxy, sca, ssa
+// (region2rect/get_theta inputs).  out: [C x 9] doubles, zero-initialized
+// by the caller.
+void region_moments(const int32_t* labels, const float* w,
+                    const float* angle, int64_t H, int64_t W,
+                    double* out) {
+    for (int64_t y = 0; y < H; ++y) {
+        for (int64_t x = 0; x < W; ++x) {
+            const int64_t i = y * W + x;
+            const int32_t c = labels[i];
+            if (c < 0) continue;
+            double* o = out + static_cast<int64_t>(c) * 9;
+            const double wi = w[i];
+            const double fx = static_cast<double>(x);
+            const double fy = static_cast<double>(y);
+            o[0] += 1.0;
+            o[1] += wi;
+            o[2] += wi * fx;
+            o[3] += wi * fy;
+            o[4] += wi * fx * fx;
+            o[5] += wi * fy * fy;
+            o[6] += wi * fx * fy;
+            o[7] += std::cos(static_cast<double>(angle[i]));
+            o[8] += std::sin(static_cast<double>(angle[i]));
+        }
+    }
+}
+
+// per-component extents along (dx, dy) through (cx, cy):
+// out [C x 4] = l_min, l_max, w_min, w_max; caller initializes to
+// +inf/-inf/+inf/-inf.
+void region_extents(const int32_t* labels, int64_t H, int64_t W,
+                    const double* cx, const double* cy,
+                    const double* dx, const double* dy,
+                    double* out) {
+    for (int64_t y = 0; y < H; ++y) {
+        for (int64_t x = 0; x < W; ++x) {
+            const int64_t i = y * W + x;
+            const int32_t c = labels[i];
+            if (c < 0) continue;
+            const double rx = static_cast<double>(x) - cx[c];
+            const double ry = static_cast<double>(y) - cy[c];
+            const double l = rx * dx[c] + ry * dy[c];
+            const double wd = -rx * dy[c] + ry * dx[c];
+            double* o = out + static_cast<int64_t>(c) * 4;
+            if (l < o[0]) o[0] = l;
+            if (l > o[1]) o[1] = l;
+            if (wd < o[2]) o[2] = wd;
+            if (wd > o[3]) o[3] = wd;
+        }
+    }
 }
 
 }  // extern "C"

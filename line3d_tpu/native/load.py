@@ -57,5 +57,17 @@ def get_lib():
                                      ctypes.c_int64, ctypes.c_int64,
                                      i64p, i64p]
         lib.sweep_events.restype = ctypes.c_int64
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        lib.grid_cc_compact.argtypes = [f32p, u8p, f32p, ctypes.c_int64,
+                                        ctypes.c_int64, i32p]
+        lib.grid_cc_compact.restype = ctypes.c_int64
+        lib.region_moments.argtypes = [i32p, f32p, f32p, ctypes.c_int64,
+                                       ctypes.c_int64, f64p]
+        lib.region_moments.restype = None
+        lib.region_extents.argtypes = [i32p, ctypes.c_int64, ctypes.c_int64,
+                                       f64p, f64p, f64p, f64p, f64p]
+        lib.region_extents.restype = None
         _lib = lib
         return _lib
