@@ -134,10 +134,16 @@ def _min_symmetrize(i, j, w, eps):
     return i, j, w_sym
 
 
-def run_diffusion(graph, config: L3DConfig, verbose: bool = False):
+def run_diffusion(graph, config: L3DConfig, verbose: bool = False,
+                  mesh=None):
     """Diffuse a cluster.AffinityGraph in place; returns a new edge list."""
-    fn = diffuse_reference if config.diffusion_mode == "reference" \
-        else diffuse_true
+    if config.diffusion_backend == "device" \
+            and config.diffusion_mode == "reference":
+        from .diffusion_device import diffuse_reference_device
+        fn = lambda *a: diffuse_reference_device(*a, mesh=mesh)  # noqa: E731
+    else:
+        fn = diffuse_reference if config.diffusion_mode == "reference" \
+            else diffuse_true
     i, j, w = fn(graph.edges_i.astype(np.int64),
                  graph.edges_j.astype(np.int64),
                  graph.edges_w.astype(np.float64),

@@ -49,6 +49,10 @@ class L3DConfig:
     # K_sparseMat_diffusion_step (cudawrapper.cu:765-829); "true" computes the
     # published replicator-dynamics update P ∘ (P·W) restricted to the pattern.
     diffusion_mode: str = "reference"
+    # "host" runs diffusion in numpy (float64); "device" runs the
+    # reference-mode lockstep iterations as one jitted fori_loop on TPU
+    # (float32, shardable along the edge axis — cluster/diffusion_device.py)
+    diffusion_backend: str = "host"
 
     # --- line refinement (additive: line bundle adjustment, no reference
     # equivalent; BASELINE.json north star) ---

@@ -116,3 +116,52 @@ def test_diffusion_strengthens_consistent_edges():
     oi, oj, ow = diffusion.diffuse_true(i, j, w, 5, iterations=5)
     m = {(int(a), int(b)): float(x) for a, b, x in zip(oi, oj, ow)}
     assert m[(0, 1)] > m[(2, 3)]
+
+
+def _random_sym_graph(n, e_und, seed):
+    """Random symmetric COO graph (both directions present, no dups)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, n, e_und * 2)
+    b = rng.integers(0, n, e_und * 2)
+    keep = a < b
+    pairs = np.unique(np.stack([a[keep], b[keep]], axis=1), axis=0)[:e_und]
+    w_und = rng.uniform(0.05, 1.0, len(pairs))
+    i = np.concatenate([pairs[:, 0], pairs[:, 1]])
+    j = np.concatenate([pairs[:, 1], pairs[:, 0]])
+    w = np.concatenate([w_und, w_und])
+    return i.astype(np.int64), j.astype(np.int64), w.astype(np.float64)
+
+
+def test_diffusion_device_matches_host():
+    """The jitted device kernel reproduces the host reference-mode RDD
+    (float32 vs float64 tolerance)."""
+    from line3d_tpu.cluster import diffusion_device
+    for seed in (0, 1):
+        i, j, w = _random_sym_graph(60, 220, seed)
+        hi, hj, hw = diffusion.diffuse_reference(i, j, w, 60, iterations=10)
+        di, dj, dw = diffusion_device.diffuse_reference_device(
+            i, j, w, 60, iterations=10)
+        np.testing.assert_array_equal(hi, di)
+        np.testing.assert_array_equal(hj, dj)
+        np.testing.assert_allclose(hw, dw, rtol=2e-4, atol=1e-7)
+
+
+def test_diffusion_device_backend_dispatch():
+    from line3d_tpu.config import L3DConfig
+    from line3d_tpu.cluster.affinity import AffinityGraph
+    i, j, w = _random_sym_graph(20, 40, 3)
+    g = AffinityGraph(edges_i=i.astype(np.int32), edges_j=j.astype(np.int32),
+                      edges_w=w.astype(np.float32),
+                      node_view=np.zeros(20, np.int32),
+                      node_seg=np.arange(20, dtype=np.int32), num_nodes=20)
+    g2 = AffinityGraph(edges_i=i.astype(np.int32),
+                       edges_j=j.astype(np.int32),
+                       edges_w=w.astype(np.float32),
+                       node_view=np.zeros(20, np.int32),
+                       node_seg=np.arange(20, dtype=np.int32), num_nodes=20)
+    cfg_h = L3DConfig()
+    cfg_d = L3DConfig(diffusion_backend="device")
+    diffusion.run_diffusion(g, cfg_h)
+    diffusion.run_diffusion(g2, cfg_d)
+    np.testing.assert_array_equal(g.edges_i, g2.edges_i)
+    np.testing.assert_allclose(g.edges_w, g2.edges_w, rtol=2e-4, atol=1e-6)

@@ -122,3 +122,27 @@ def test_run_matching_sharded_engine_equivalence(setup):
         s2 = set(zip(vm2.src_seg.tolist(), vm2.tgt_view.tolist(),
                      vm2.tgt_seg.tolist()))
         assert s1 == s2
+
+
+def test_sharded_diffusion_matches_host():
+    """Edge-sharded device diffusion over the 8-device mesh reproduces the
+    host float64 reference-mode RDD."""
+    from line3d_tpu.cluster import diffusion, diffusion_device
+    rng = np.random.default_rng(7)
+    n, e_und = 300, 2000
+    a = rng.integers(0, n, e_und * 2)
+    b = rng.integers(0, n, e_und * 2)
+    keep = a < b
+    pairs = np.unique(np.stack([a[keep], b[keep]], axis=1), axis=0)[:e_und]
+    w_und = rng.uniform(0.05, 1.0, len(pairs))
+    i = np.concatenate([pairs[:, 0], pairs[:, 1]]).astype(np.int64)
+    j = np.concatenate([pairs[:, 1], pairs[:, 0]]).astype(np.int64)
+    w = np.concatenate([w_und, w_und]).astype(np.float64)
+
+    hi, hj, hw = diffusion.diffuse_reference(i, j, w, n, iterations=10)
+    mesh = mesh_mod.make_view_mesh()
+    di, dj, dw = diffusion_device.diffuse_reference_device(
+        i, j, w, n, iterations=10, mesh=mesh)
+    np.testing.assert_array_equal(hi, di)
+    np.testing.assert_array_equal(hj, dj)
+    np.testing.assert_allclose(hw, dw, rtol=5e-4, atol=1e-7)
