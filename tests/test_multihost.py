@@ -1,0 +1,97 @@
+"""Multi-host orchestration: 2 real processes, gloo collectives, global mesh.
+
+Validates the pod-slice recipe in parallel/multihost.py end-to-end without
+TPU hardware: two OS processes each own 4 CPU devices and a contiguous view
+shard, all-gather segments, and run the sharded matching step over the
+8-device global mesh with cross-process collectives.  The parent compares
+both hosts' replicated outputs against the in-process single-"host" run.
+"""
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_orchestration(tmp_path):
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # the workers steer themselves to CPU via jax.config (sitecustomize
+    # overrides env vars); drop the parent's forced device count
+    env.pop("XLA_FLAGS", None)
+
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.join(HERE, "multihost_worker.py"),
+         str(port), str(pid), "2", str(tmp_path)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+
+    o0 = dict(np.load(tmp_path / "out_0.npz"))
+    o1 = dict(np.load(tmp_path / "out_1.npz"))
+    assert o0.keys() == o1.keys()
+    for k in o0:
+        np.testing.assert_array_equal(o0[k], o1[k]), k
+
+    # compare against the single-process sharded path on the same scene
+    from synthetic import make_scene
+    from line3d_tpu.config import L3DConfig
+    from line3d_tpu.core.conditioning import compute_conditioning
+    from line3d_tpu.parallel import mesh as mesh_mod, sharded
+    from line3d_tpu.scene import view_similarities_from_worldpoints, \
+        find_visual_neighbors
+
+    syn = make_scene(num_views=8)
+    scene, cams = syn.scene, syn.cameras
+    cfg = L3DConfig()
+    tr = compute_conditioning(cams.C)
+    cams.transform(tr.Qinv, tr.scale)
+    sim, _ = view_similarities_from_worldpoints(syn.wp_lists,
+                                                scene.num_views)
+    neighbors = find_visual_neighbors(sim, cams.baselines(),
+                                      cfg.min_baseline, 4)
+    mesh = mesh_mod.make_view_mesh()
+    Vp = mesh_mod.pad_views_to_mesh(scene.num_views, mesh)
+    segments, seg_mask, stacks, nb_ids = sharded.build_stacks(
+        scene, cams, neighbors, cfg, num_pad_views=Vp)
+    S = scene.max_segments
+    ref = sharded.sharded_match_all_views(
+        segments, seg_mask, stacks,
+        np.float32(cfg.sigma_p), np.float32(cfg.sigma_a),
+        np.float32(cfg.confidence_threshold),
+        m_pair=min(cfg.max_matches_per_segment, S),
+        m_total=min(cfg.max_matches_per_segment, S),
+        row_chunk=min(128, S), k_export=S * 8, mesh=mesh)
+    np.testing.assert_array_equal(o0["nb_ids"], nb_ids)
+    for k, v in ref.items():
+        got, want = o0[k], np.asarray(v)
+        if got.dtype.kind == "f":
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6,
+                                       err_msg=k)
+        else:
+            np.testing.assert_array_equal(got, want, err_msg=k)
