@@ -1,9 +1,13 @@
 """Benchmark: candidate line-pair affinities/sec/chip.
 
-Runs the fused pairwise epipolar matching kernel (the TPU replacement for
-K_pairwise_matches, cudawrapper.cu:538-611) at production shape — 3072
+Runs the full raw-matching stage (the TPU replacement for
+K_pairwise_matches PLUS the reference's host-side download/sort/offset
+build, cudawrapper.cu:538-611 and 923-1007) at production shape — 3072
 padded segments per view, 10 visual neighbors — on one chip and reports
-evaluated line-pair affinities per second.
+evaluated line-pair affinities per second: fused pairwise epipolar kernel,
+per-128-block key compaction, cross-neighbor merge, and depth recompute at
+the compacted shape.  Every stage's output feeds the timed reduction so
+nothing is dead-code-eliminated.
 
 Measurement protocol (required on this TPU tunnel backend, which memoizes
 repeated identical executions and whose per-dispatch overhead is ~15 ms):
@@ -17,9 +21,16 @@ against a nominal 1e9 pair-affinities/sec for the CUDA kernel on a 2015-era
 GPU (16x16 blocks over a 3000x3000 grid, a few hundred flops per pair).
 """
 import json
+import os
 import time
 
 import numpy as np
+
+# persistent XLA compilation cache (same as the CLI): first compile of the
+# production-shape matching program is slow; repeat bench runs are instant
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/line3d_tpu_xla"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 NOMINAL_BASELINE_PAIRS_PER_SEC = 1.0e9
 LOOP_N = 16
@@ -62,10 +73,23 @@ def main():
 
     @jax.jit
     def loop(segs_src, *a):
+        (mask_src, RtKinv_src, C_src,
+         segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, nb_mask) = a
+
         def body(i, acc):
+            x = segs_src + i.astype(jnp.float32) * 1e-4
             res = pairwise.match_view_against_neighbors(
-                segs_src + i.astype(jnp.float32) * 1e-4, *a, m_cap=256)
-            return acc + res["n_valid"].sum().astype(jnp.float32)
+                x, mask_src, RtKinv_src, C_src,
+                segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, nb_mask, quota=8,
+                min_capacity=256)
+            cam, tgt, valid = pairwise.merge_neighbor_tables(
+                res, 256, segs_nb.shape[1])
+            depths = pairwise.depths_for_matches(
+                x, segs_nb, cam, tgt, valid,
+                F_nb, RtKinv_src, RtKinv_nb, C_src, C_nb)
+            # consume every stage so nothing is dead-code-eliminated
+            return (acc + res["n_valid"].sum().astype(jnp.float32)
+                    + depths.sum() + cam.sum().astype(jnp.float32))
         return jax.lax.fori_loop(0, LOOP_N, body, jnp.float32(0))
 
     base = jnp.asarray(scene.segments[v])

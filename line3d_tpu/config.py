@@ -75,6 +75,11 @@ class L3DConfig:
     # (cudawrapper.cu:926-944); fixed shapes need a cap.  Overflow is counted
     # and reported so it can be raised.
     max_matches_per_segment: int = 256
+    # Per-(source segment, 128-target-block) raw-match quota during
+    # per-neighbor compaction (compact_rows_blockq): per-neighbor capacity
+    # is (S/128)*quota.  Key-only block compaction is ~6x cheaper on TPU
+    # than tightly packing rows; overflow is counted and reported.
+    match_block_quota: int = 8
     # Segment-count padding granularity (TPU lane width).
     pad_multiple: int = 128
 

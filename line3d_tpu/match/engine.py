@@ -62,11 +62,12 @@ class BestMatches:
     d2: np.ndarray           # [B] float32
 
 
-@functools.partial(jax.jit, static_argnames=("m_pair", "m_total", "row_chunk"))
+@functools.partial(jax.jit, static_argnames=("quota", "m_total",
+                                             "row_chunk"))
 def _match_and_score_view(segs_src, mask_src, RtKinv_src, C_src,
                           segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, P_nb,
                           nb_mask, sigma_p, sigma_a, spatial_k,
-                          m_pair: int, m_total: int, row_chunk: int):
+                          quota: int, m_total: int, row_chunk: int):
     """Full device-side matching step for one source view.
 
     Returns (cam [S, M], tgt [S, M], depths [S, M, 4], valid [S, M],
@@ -74,9 +75,14 @@ def _match_and_score_view(segs_src, mask_src, RtKinv_src, C_src,
     """
     res = pairwise.match_view_against_neighbors(
         segs_src, mask_src, RtKinv_src, C_src,
-        segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, nb_mask, m_pair)
+        segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, nb_mask, quota,
+        min_capacity=m_total)
 
-    cam, tgt, depths, valid = pairwise.merge_neighbor_tables(res, m_total)
+    cam, tgt, valid = pairwise.merge_neighbor_tables(
+        res, m_total, segs_nb.shape[1])
+    depths = pairwise.depths_for_matches(
+        segs_src, segs_nb, cam, tgt, valid,
+        F_nb, RtKinv_src, RtKinv_nb, C_src, C_nb)
 
     conf = scoring.score_matches(
         segs_src, mask_src, RtKinv_src, C_src,
@@ -84,8 +90,8 @@ def _match_and_score_view(segs_src, mask_src, RtKinv_src, C_src,
         sigma_p, sigma_a, spatial_k, row_chunk=row_chunk)
 
     total_overflow = res["overflow"]
-    n_all = jnp.sum(res["valid"], axis=(0, 2))       # per src seg, all nbrs
-    dropped = jnp.maximum(n_all - cam.shape[1], 0)
+    n_kept = jnp.sum(res["valid"], axis=(0, 2))      # per src seg, all nbrs
+    dropped = jnp.maximum(n_kept - cam.shape[1], 0)
     total_overflow = jnp.sum(total_overflow) + jnp.sum(dropped)
     return cam, tgt, depths, valid, conf, total_overflow
 
@@ -144,7 +150,7 @@ def run_matching(scene: Scene, cameras: CameraSet, neighbors: list,
             segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, P_nb, nb_mask,
             np.float32(config.sigma_p), np.float32(config.sigma_a),
             np.float32(spatial_ks[v]),
-            m_pair=min(config.max_matches_per_segment, S),
+            quota=config.match_block_quota,
             m_total=min(config.max_matches_per_segment, S),
             row_chunk=min(128, S))
         cam = np.asarray(cam)
@@ -250,7 +256,7 @@ def run_matching_sharded(scene: Scene, cameras: CameraSet, neighbors: list,
         segments, seg_mask, stacks,
         np.float32(config.sigma_p), np.float32(config.sigma_a),
         np.float32(config.confidence_threshold),
-        m_pair=min(config.max_matches_per_segment, S),
+        quota=config.match_block_quota,
         m_total=min(config.max_matches_per_segment, S),
         row_chunk=min(128, S),
         k_export=min(S * k_export_per_seg,

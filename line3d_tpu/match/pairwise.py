@@ -256,37 +256,186 @@ def compact_rows(depths, valid, m_cap):
     return tgt_idx, depths_g, kept_valid, n_valid
 
 
-def merge_neighbor_tables(res: dict, m_total: int):
-    """Merge per-neighbor compacted tables [N, S, mp] into one per-source
-    table [S, M] ordered by (neighbor, target) ascending — the reference's
-    sortMatchingPairs order (sparsematrix.h:68-79).
+def compact_rows_blockq(valid, quota: int, min_capacity: int = 0):
+    """Key-only per-128-block compaction (ascending target index).
 
-    Multi-operand sort (see compact_rows) instead of top_k + gathers.
+    TPU-native replacement for the reference's host-side sort + offset-table
+    build (cudawrapper.cu:926-1007).  Tightly packing each row's valid
+    matches is a payload-heavy [Ss, St] sort (~100 ms/view at production
+    shape); instead keep at most `quota` matches per contiguous 128-target
+    lane block — a fixed layout needing only a 1-operand length-128
+    segmented sort of an int key, with depths recomputed later at the
+    compacted shape (depths_for_matches).  Per-source capacity is
+    (St/128)*quota; drops are counted (the reference keeps all matches;
+    typical per-row counts are far below capacity).
 
-    Returns (cam [S, M] int32, tgt [S, M] int32, depths [S, M, 4],
-             valid [S, M] bool).
+    Returns (tgt_idx [Ss, (St/128)*quota] int32 (-1 pads),
+             kept [Ss, (St/128)*quota] bool, n_valid [Ss] int32).
     """
-    N, S, mp = res["tgt_idx"].shape
-    K = N * mp
+    Ss, St = valid.shape
+    blk = 128
+    while St % blk:                       # tiny test shapes pad to 64
+        blk //= 2
+    B = St // blk
+    # guarantee at least min_capacity slots per row regardless of block
+    # count (small scenes have few blocks; quota alone would under-cap)
+    quota = max(quota, -(-min_capacity // B))
+    quota = min(quota, blk)
+    j = jax.lax.broadcasted_iota(jnp.int32, (Ss * B, blk), 1)
+    key = jnp.where(valid.reshape(Ss * B, blk), j, jnp.int32(blk) + j)
+    # 2-D shape: XLA's TPU sort is ~4x slower on >2-D operands
+    skey = jax.lax.sort(key, dimension=1)[:, :quota].reshape(Ss, B, quota)
+    kept = skey < blk
+    base = jax.lax.broadcasted_iota(jnp.int32, (Ss, B, quota), 1) * blk
+    tgt_idx = jnp.where(kept, base + skey, -1).reshape(Ss, B * quota)
+    n_valid = jnp.sum(valid, axis=1).astype(jnp.int32)
+    return tgt_idx, kept.reshape(Ss, B * quota), n_valid
+
+
+def merge_neighbor_tables(res: dict, m_total: int, num_targets: int):
+    """Merge per-neighbor compacted index tables [N, S, K1] into one
+    per-source table [S, M] ordered by (neighbor, target) ascending — the
+    reference's sortMatchingPairs order (sparsematrix.h:68-79).
+
+    Key-only: each kept slot is encoded as cam*St + tgt into one int32 and
+    a single 1-operand sort merges all neighbors; cam/tgt are recovered by
+    divmod and depths are recomputed afterwards (depths_for_matches), so no
+    payload planes ride the sort.
+
+    Returns (cam [S, M] int32, tgt [S, M] int32, valid [S, M] bool).
+    """
+    N, S, K1 = res["tgt_idx"].shape
+    K = N * K1
+    St = num_targets
     cam_full = jnp.broadcast_to(
-        jnp.arange(N, dtype=jnp.int32)[:, None, None], (N, S, mp))
+        jnp.arange(N, dtype=jnp.int32)[:, None, None], (N, S, K1))
     cam_full = jnp.transpose(cam_full, (1, 0, 2)).reshape(S, K)
     tgt_full = jnp.transpose(res["tgt_idx"], (1, 0, 2)).reshape(S, K)
     valid_full = jnp.transpose(res["valid"], (1, 0, 2)).reshape(S, K)
-    depths_full = jnp.transpose(res["depths"], (1, 0, 2, 3)).reshape(S, K, 4)
 
     m_total = min(m_total, K)
+    big = N * St
     pos = jax.lax.broadcasted_iota(jnp.int32, (S, K), 1)
-    key = jnp.where(valid_full, pos, K + pos)
-    ops = (key, cam_full, tgt_full) + tuple(
-        depths_full[..., k] for k in range(4))
-    sorted_ops = jax.lax.sort(ops, dimension=1, num_keys=1)
-    skey = sorted_ops[0][:, :m_total]
-    valid = skey < K
-    cam = jnp.where(valid, sorted_ops[1][:, :m_total], -1)
-    tgt = jnp.where(valid, sorted_ops[2][:, :m_total], -1)
-    depths = jnp.stack([p[:, :m_total] for p in sorted_ops[3:]], axis=-1)
-    return cam, tgt, depths, valid
+    key = jnp.where(valid_full, cam_full * St + tgt_full, big + pos)
+    skey = jax.lax.sort(key, dimension=1)[:, :m_total]
+    valid = skey < big
+    cam = jnp.where(valid, skey // St, -1)
+    tgt = jnp.where(valid, skey % St, -1)
+    return cam, tgt, valid
+
+
+def depths_for_matches(segs_src, segs_nb, cam, tgt, valid,
+                       F_nb, RtKinv_src, RtKinv_nb, C_src, C_nb):
+    """Recompute the 4 triangulated depths for a merged match table.
+
+    Same math as match_pair_dense / the Pallas kernel (two-ray triangulation
+    of the epipolar transfer points, cudawrapper.cu:306-335, 594-601), but
+    evaluated only at the kept [S, M] pairs — the dense [Ss, St] depth
+    planes are never written to HBM.  Per-match camera constants are
+    resolved by an unrolled select over the small neighbor axis (exact; a
+    one-hot MXU contraction would round the values to bf16).
+
+    Returns depths [S, M, 4] float32 (0 in invalid slots).
+    """
+    S, M = cam.shape
+    N, St, _ = segs_nb.shape
+    cam_s = jnp.maximum(cam, 0)
+    flat = cam_s * St + jnp.maximum(tgt, 0)
+    tcoords = segs_nb.reshape(N * St, 4)[flat.reshape(-1)].reshape(S, M, 4)
+
+    def sel(arr):
+        out = jnp.zeros((S, M) + arr.shape[1:], jnp.float32)
+        for n in range(N):
+            cond = (cam_s == n).reshape((S, M) + (1,) * (arr.ndim - 1))
+            out = jnp.where(cond, arr[n].astype(jnp.float32), out)
+        return out
+
+    F_pm = sel(F_nb)            # [S, M, 3, 3]
+    Mt_pm = sel(RtKinv_nb)      # [S, M, 3, 3]
+    Ct_pm = sel(C_nb)           # [S, M, 3]
+
+    p1x = segs_src[:, 0:1]; p1y = segs_src[:, 1:2]
+    p2x = segs_src[:, 2:3]; p2y = segs_src[:, 3:4]
+    q1x = tcoords[..., 0]; q1y = tcoords[..., 1]
+    q2x = tcoords[..., 2]; q2y = tcoords[..., 3]
+
+    l1a = p1y - p2y; l1b = p2x - p1x; l1c = p1x * p2y - p1y * p2x  # [S,1]
+    l2a = q1y - q2y; l2b = q2x - q1x; l2c = q1x * q2y - q1y * q2x  # [S,M]
+
+    Fc = lambda r, c: F_pm[..., r, c]
+    e1a = Fc(0, 0) * p1x + Fc(0, 1) * p1y + Fc(0, 2)
+    e1b = Fc(1, 0) * p1x + Fc(1, 1) * p1y + Fc(1, 2)
+    e1c = Fc(2, 0) * p1x + Fc(2, 1) * p1y + Fc(2, 2)
+    e2a = Fc(0, 0) * p2x + Fc(0, 1) * p2y + Fc(0, 2)
+    e2b = Fc(1, 0) * p2x + Fc(1, 1) * p2y + Fc(1, 2)
+    e2c = Fc(2, 0) * p2x + Fc(2, 1) * p2y + Fc(2, 2)
+    f1a = Fc(0, 0) * q1x + Fc(1, 0) * q1y + Fc(2, 0)
+    f1b = Fc(0, 1) * q1x + Fc(1, 1) * q1y + Fc(2, 1)
+    f1c = Fc(0, 2) * q1x + Fc(1, 2) * q1y + Fc(2, 2)
+    f2a = Fc(0, 0) * q2x + Fc(1, 0) * q2y + Fc(2, 0)
+    f2b = Fc(0, 1) * q2x + Fc(1, 1) * q2y + Fc(2, 1)
+    f2c = Fc(0, 2) * q2x + Fc(1, 2) * q2y + Fc(2, 2)
+
+    def intersect(la, lb, lc, ma, mb, mc):
+        ix = lb * mc - lc * mb
+        iy = lc * ma - la * mc
+        iz = la * mb - lb * ma
+        ok = jnp.abs(iz) > EPS
+        zs = jnp.where(ok, iz, 1.0)
+        return jnp.where(ok, ix / zs, 0.0), jnp.where(ok, iy / zs, 0.0)
+
+    a1x, a1y = intersect(l2a, l2b, l2c, e1a, e1b, e1c)
+    a2x, a2y = intersect(l2a, l2b, l2c, e2a, e2b, e2c)
+    b1x, b1y = intersect(l1a, l1b, l1c, f1a, f1b, f1c)
+    b2x, b2y = intersect(l1a, l1b, l1c, f2a, f2b, f2c)
+
+    def ray_fixed(Mx, x, y):
+        rx = Mx[0, 0] * x + Mx[0, 1] * y + Mx[0, 2]
+        ry = Mx[1, 0] * x + Mx[1, 1] * y + Mx[1, 2]
+        rz = Mx[2, 0] * x + Mx[2, 1] * y + Mx[2, 2]
+        inv = jax.lax.rsqrt(jnp.maximum(rx * rx + ry * ry + rz * rz, EPS))
+        return rx * inv, ry * inv, rz * inv
+
+    Mc = lambda r, c: Mt_pm[..., r, c]
+
+    def ray_pm(x, y):
+        rx = Mc(0, 0) * x + Mc(0, 1) * y + Mc(0, 2)
+        ry = Mc(1, 0) * x + Mc(1, 1) * y + Mc(1, 2)
+        rz = Mc(2, 0) * x + Mc(2, 1) * y + Mc(2, 2)
+        inv = jax.lax.rsqrt(jnp.maximum(rx * rx + ry * ry + rz * rz, EPS))
+        return rx * inv, ry * inv, rz * inv
+
+    def tri(r1, r2, w0, want_first):
+        a = r1[0] * r1[0] + r1[1] * r1[1] + r1[2] * r1[2]
+        b = r1[0] * r2[0] + r1[1] * r2[1] + r1[2] * r2[2]
+        c = r2[0] * r2[0] + r2[1] * r2[1] + r2[2] * r2[2]
+        d = r1[0] * w0[0] + r1[1] * w0[1] + r1[2] * w0[2]
+        e = r2[0] * w0[0] + r2[1] * w0[1] + r2[2] * w0[2]
+        denom = a * c - b * b
+        ok = jnp.abs(denom) > EPS
+        zs = jnp.where(ok, denom, 1.0)
+        num = (b * e - c * d) if want_first else (a * e - b * d)
+        return jnp.where(ok, num / zs, -1.0)
+
+    w0 = tuple(C_src[k] - Ct_pm[..., k] for k in range(3))
+
+    ray_p1 = ray_fixed(RtKinv_src, p1x, p1y)
+    ray_p2 = ray_fixed(RtKinv_src, p2x, p2y)
+    ray_q1 = ray_pm(q1x, q1y)
+    ray_q2 = ray_pm(q2x, q2y)
+    ray_a1 = ray_pm(a1x, a1y)
+    ray_a2 = ray_pm(a2x, a2y)
+    ray_b1 = ray_fixed(RtKinv_src, b1x, b1y)
+    ray_b2 = ray_fixed(RtKinv_src, b2x, b2y)
+
+    d_p1 = tri(ray_p1, ray_a1, w0, True)
+    d_p2 = tri(ray_p2, ray_a2, w0, True)
+    d_q1 = tri(ray_b1, ray_q1, w0, False)
+    d_q2 = tri(ray_b2, ray_q2, w0, False)
+
+    depths = jnp.stack([jnp.broadcast_to(d, (S, M))
+                        for d in (d_p1, d_p2, d_q1, d_q2)], axis=-1)
+    return jnp.where(valid[..., None], depths, 0.0)
 
 
 def use_pallas() -> bool:
@@ -301,43 +450,47 @@ def use_pallas() -> bool:
 
 def match_view_against_neighbors(segs_src, mask_src, RtKinv_src, C_src,
                                  segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb,
-                                 nb_mask, m_cap,
+                                 nb_mask, quota,
                                  min_overlap_lower=0.10,
-                                 min_overlap_upper=0.30):
+                                 min_overlap_upper=0.30,
+                                 min_capacity: int = 0):
     """Match one source view against a padded stack of N neighbor views.
 
-    Scans over the neighbor axis (keeps peak memory at one [Ss, St] grid) and
-    emits per-neighbor compacted tables.
+    Scans over the neighbor axis (keeps peak memory at one [Ss, St] grid);
+    each neighbor's valid plane is compacted key-only per 128-target block
+    (compact_rows_blockq) — depths are recomputed after the merge
+    (depths_for_matches), so no payload planes ride any sort.
 
     Args:
       segs_nb: [N, St, 4]; mask_nb: [N, St]; F_nb: [N, 3, 3];
       RtKinv_nb: [N, 3, 3]; C_nb: [N, 3]; nb_mask: [N] bool (padding slots).
-      m_cap: per-neighbor per-source-segment match cap.
+      quota: per-(source segment, 128-target-block) match quota; per-neighbor
+        capacity is (St/128)*quota.
 
     Returns dict with
-      tgt_idx [N, Ss, m_cap], depths [N, Ss, m_cap, 4],
-      valid [N, Ss, m_cap], n_valid [N, Ss], overflow [N] (int32 count of
-      matches dropped by the cap — reference keeps all, cudawrapper.cu:926).
+      tgt_idx [N, Ss, K1], valid [N, Ss, K1], n_valid [N, Ss],
+      overflow [N] (int32 count of matches dropped by the quota — the
+      reference keeps all, cudawrapper.cu:926).
     """
     if use_pallas():
         from . import pairwise_pallas
-        pair_fn = pairwise_pallas.match_pair_dense_pallas
+        pair_fn = pairwise_pallas.match_pair_valid_pallas
     else:
-        pair_fn = match_pair_dense
+        pair_fn = lambda *a: match_pair_dense(*a)[1]  # noqa: E731
 
     def step(carry, nb):
-        segs_t, mask_t, F, RtKinv_t, C_t, nbm = nb
-        depths, valid = pair_fn(
-            segs_src, segs_t, mask_src, mask_t & nbm,
+        segs_t, mask_t, F, RtKinv_t, C_t = nb
+        valid = pair_fn(
+            segs_src, segs_t, mask_src, mask_t,
             F, RtKinv_src, RtKinv_t, C_src, C_t,
             min_overlap_lower, min_overlap_upper)
-        tgt_idx, depths_g, kept, n_valid = compact_rows(depths, valid, m_cap)
-        overflow = jnp.sum(jnp.maximum(n_valid - m_cap, 0))
-        return carry, (tgt_idx, depths_g, kept, n_valid, overflow)
+        tgt_idx, kept, n_valid = compact_rows_blockq(valid, quota,
+                                                     min_capacity)
+        overflow = jnp.sum(n_valid) - jnp.sum(kept)
+        return carry, (tgt_idx, kept, n_valid, overflow)
 
-    nb_mask_b = nb_mask[:, None] & jnp.ones_like(mask_nb)
-    _, (tgt_idx, depths_g, kept, n_valid, overflow) = jax.lax.scan(
+    _, (tgt_idx, kept, n_valid, overflow) = jax.lax.scan(
         step, None,
-        (segs_nb, nb_mask_b, F_nb, RtKinv_nb, C_nb, nb_mask))
-    return dict(tgt_idx=tgt_idx, depths=depths_g, valid=kept,
+        (segs_nb, mask_nb & nb_mask[:, None], F_nb, RtKinv_nb, C_nb))
+    return dict(tgt_idx=tgt_idx, valid=kept,
                 n_valid=n_valid, overflow=overflow)

@@ -29,8 +29,8 @@ from jax.experimental.pallas import tpu as pltpu
 EPS = 1e-12
 
 
-def _kernel(params_ref, segs_src_ref, segs_tgtT_ref, mask_src_ref,
-            mask_tgtT_ref, d1_ref, d2_ref, d3_ref, d4_ref, valid_ref):
+def _compute(params_ref, segs_src_ref, segs_tgtT_ref, mask_src_ref,
+             mask_tgtT_ref):
     P = params_ref
     # params layout (see match_pair_dense_pallas):
     # 0..8   F (row-major)          9..17  RtKinv_src
@@ -173,7 +173,13 @@ def _kernel(params_ref, segs_src_ref, segs_tgtT_ref, mask_src_ref,
     pos = (d_p1 > 0.0) & (d_p2 > 0.0) & (d_q1 > 0.0) & (d_q2 > 0.0)
     valid = (inter_ok & ov_ok & pos & t1 & t2 & t3 & t4 &
              (m_src > 0.5) & (m_tgt > 0.5))
+    return (d_p1, d_p2, d_q1, d_q2), valid
 
+
+def _kernel(params_ref, segs_src_ref, segs_tgtT_ref, mask_src_ref,
+            mask_tgtT_ref, d1_ref, d2_ref, d3_ref, d4_ref, valid_ref):
+    (d_p1, d_p2, d_q1, d_q2), valid = _compute(
+        params_ref, segs_src_ref, segs_tgtT_ref, mask_src_ref, mask_tgtT_ref)
     shape = (segs_src_ref.shape[0], segs_tgtT_ref.shape[1])
     bc = lambda x: jnp.broadcast_to(x, shape)
     d1_ref[:, :] = bc(d_p1)
@@ -181,6 +187,16 @@ def _kernel(params_ref, segs_src_ref, segs_tgtT_ref, mask_src_ref,
     d3_ref[:, :] = bc(d_q1)
     d4_ref[:, :] = bc(d_q2)
     valid_ref[:, :] = bc(valid).astype(jnp.float32)
+
+
+def _kernel_valid(params_ref, segs_src_ref, segs_tgtT_ref, mask_src_ref,
+                  mask_tgtT_ref, valid_ref):
+    """Valid-plane-only variant: skips the 4 depth-plane HBM writes (depths
+    are recomputed later at the compacted [S, M] shape, pairwise.py)."""
+    _, valid = _compute(
+        params_ref, segs_src_ref, segs_tgtT_ref, mask_src_ref, mask_tgtT_ref)
+    shape = (segs_src_ref.shape[0], segs_tgtT_ref.shape[1])
+    valid_ref[:, :] = jnp.broadcast_to(valid, shape).astype(jnp.float32)
 
 
 @functools.partial(jax.jit,
@@ -242,3 +258,57 @@ def match_pair_dense_pallas(segs_src, segs_tgt, mask_src, mask_tgt,
     )(params, segs_src, segs_tgtT, mask_srcf, mask_tgtf)
 
     return (d1, d2, d3, d4), validf > 0.5
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_s", "block_t", "interpret"))
+def match_pair_valid_pallas(segs_src, segs_tgt, mask_src, mask_tgt,
+                            F, RtKinv_src, RtKinv_tgt, C_src, C_tgt,
+                            min_overlap_lower=0.10, min_overlap_upper=0.30,
+                            block_s: int = 256, block_t: int = 256,
+                            interpret: bool = False):
+    """Like match_pair_dense_pallas but emits only the valid plane
+    [Ss, St] bool — 1/5 the HBM writes.  Used by the compact-then-recompute
+    match path (pairwise.match_view_against_neighbors)."""
+    Ss = segs_src.shape[0]
+    St = segs_tgt.shape[0]
+    block_s = min(block_s, Ss)
+    block_t = min(block_t, St)
+    assert Ss % block_s == 0 and St % block_t == 0, (Ss, St, block_s, block_t)
+
+    params = jnp.concatenate([
+        jnp.ravel(F), jnp.ravel(RtKinv_src), jnp.ravel(RtKinv_tgt),
+        jnp.ravel(C_src), jnp.ravel(C_tgt),
+        jnp.array([min_overlap_lower, min_overlap_upper], jnp.float32),
+    ]).astype(jnp.float32)[None, :]                       # [1, 35]
+
+    segs_tgtT = segs_tgt.T
+    mask_srcf = mask_src.astype(jnp.float32)[:, None]
+    mask_tgtf = mask_tgt.astype(jnp.float32)[None, :]
+
+    grid = (Ss // block_s, St // block_t)
+    validf = pl.pallas_call(
+        _kernel_valid,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 35), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_s, 4), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, block_t), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_s, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_t), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_s, block_t), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Ss, St), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=int(Ss) * int(St) * 420,
+            bytes_accessed=int(Ss) * int(St) * 4,
+            transcendentals=int(Ss) * int(St) * 12),
+        interpret=interpret,
+    )(params, segs_src, segs_tgtT, mask_srcf, mask_tgtf)
+    return validf > 0.5

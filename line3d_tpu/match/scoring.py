@@ -98,7 +98,10 @@ def score_matches(segs_src, mask_src, RtKinv_src, C_src,
         # project into all neighbors: [Sc, M, N, 3]
         def proj_all(P):
             Ph = jnp.concatenate([P, jnp.ones_like(P[..., :1])], axis=-1)
-            q = jnp.einsum("smk,nik->smni", Ph, P_nb)
+            # HIGHEST: the default MXU path truncates the 3D points to bf16,
+            # which shifts reprojections by whole pixels at image scale
+            q = jnp.einsum("smk,nik->smni", Ph, P_nb,
+                           precision=jax.lax.Precision.HIGHEST)
             z = q[..., 2]
             ok = jnp.abs(z) > EPS
             zs = jnp.where(ok, z, 1.0)

@@ -1,0 +1,239 @@
+"""Pallas TPU kernel for multi-view support scoring (match verification).
+
+Same semantics as scoring.score_matches (the XLA formulation of the
+reference's K_verify_matches, cudawrapper.cu:614-714), fused into one
+VMEM-resident program.  The XLA path materializes dozens of [S, M, M]
+support planes to HBM and lowers the camera-indexed gathers to one-hot MXU
+contractions; both cost ~10x the arithmetic minimum.  Here every [M, M]
+plane lives in vregs/VMEM for the lifetime of one source segment and the
+gather ``proj[q, m, cam[m2]]`` is an N-step unrolled masked select (N =
+#neighbor cameras ~ 10), so the whole scoring pass is VPU-bound.
+
+Layout per source segment s (grid = (S,)):
+  pm_row [16, M]  per-match scalars, m on lanes  (row broadcasts)
+  pm_col [M, 16]  the same scalars transposed    (column broadcasts)
+  proj   [9, N, M] hypothesis projections of every match into every
+                   neighbor camera, m on lanes
+  out    [1, M]   confidence per match slot
+
+All [M, M] planes are oriented [m2 (sublanes), m (lanes)]: quantities of
+the *supporting* match m2 broadcast as columns, quantities of the *scored*
+match m as rows, the per-camera max is a sublane reduction, and the
+camera-select gather needs no transposes.
+
+Host-visible API: score_matches_pallas, a drop-in replacement for
+scoring.score_matches (equivalence-tested in tests/test_pallas.py).
+
+Status: NOT the engine default.  The kernel itself is ~as fast as the XLA
+path at production shape, but its input-layout prep (the [S, M, 16]
+transposed per-match planes and the [S, 9, N, M] projection stack) pays
+TPU minor-dim padding costs that currently outweigh the fusion win; the
+XLA formulation in scoring.py remains the production path.  Kept as the
+second implementation of the stage (see CLAUDE.md design invariants) and
+as the starting point for a layout-native rewrite.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core import geometry as g
+
+EPS = g.EPS
+
+# pm plane slots
+_D1, _D2, _CAM, _VALID = 0, 1, 2, 3
+_TLX, _TLY, _TLZ, _ITDEN = 4, 5, 6, 7
+_Q1X, _Q1Y, _Q2X, _Q2Y = 8, 9, 10, 11
+_DIRX, _DIRY, _DIRZ = 12, 13, 14
+_PM = 16
+# proj plane slots
+_PX1, _PY1, _PX2, _PY2 = 0, 1, 2, 3
+_PLX, _PLY, _PLZ, _IPLD = 4, 5, 6, 7
+_POK = 8
+_PJ = 9
+
+
+def _kernel(params_ref, pm_row_ref, pm_col_ref, proj_ref, out_ref, *,
+            num_cams, m_slots):
+    M = m_slots
+    f32 = jnp.float32
+    inv_sig_p2 = params_ref[0, 0]
+    inv_sig_a2 = params_ref[0, 1]
+    spatial_k = params_ref[0, 2]
+    support_threshold = params_ref[0, 3]
+
+    def col(k):                       # [M, 1] — m2 (supporting match) axis
+        return pm_col_ref[0, :, k:k + 1]
+
+    def row(k):                       # [1, M] — m (scored match) axis
+        return pm_row_ref[0, k:k + 1, :]
+
+    cam_col, valid_col = col(_CAM), col(_VALID)
+    cam_row, valid_row = row(_CAM), row(_VALID)
+
+    # camera-select gather: G[q][m2, m] = proj[q, cam[m2], m]
+    zero = jnp.zeros((M, M), f32)
+    G = [zero] * _PJ
+    for n in range(num_cams):
+        sel = cam_col == f32(n)                       # [M, 1]
+        for q in range(_PJ):
+            G[q] = jnp.where(sel, proj_ref[0, q, n:n + 1, :], G[q])
+
+    # mutual endpoint-to-line 2D distances (cudawrapper.cu:668-683)
+    da1 = jnp.abs(col(_TLX) * G[_PX1] + col(_TLY) * G[_PY1]
+                  + col(_TLZ)) * col(_ITDEN)
+    da2 = jnp.abs(col(_TLX) * G[_PX2] + col(_TLY) * G[_PY2]
+                  + col(_TLZ)) * col(_ITDEN)
+    db1 = jnp.abs(G[_PLX] * col(_Q1X) + G[_PLY] * col(_Q1Y)
+                  + G[_PLZ]) * G[_IPLD]
+    db2 = jnp.abs(G[_PLX] * col(_Q2X) + G[_PLY] * col(_Q2Y)
+                  + G[_PLZ]) * G[_IPLD]
+    dist = jnp.maximum(jnp.maximum(da1, da2), jnp.maximum(db1, db2))
+    conf_pos = jnp.exp(-dist * dist * inv_sig_p2)
+
+    # 3D angle term (cudawrapper.cu:405-415); K=3 unrolled on the VPU
+    dots = (col(_DIRX) * row(_DIRX) + col(_DIRY) * row(_DIRY)
+            + col(_DIRZ) * row(_DIRZ))
+    # the >90-degree fold (cudawrapper.cu:414) is acos(|dot|); acos/atan2
+    # aren't lowered by Mosaic, so use the Abramowitz & Stegun 4.4.46
+    # polynomial for acos on [0, 1] (|err| ~ 2e-8 rad, below f32 ulp here)
+    xa = jnp.clip(jnp.abs(dots), 0.0, 1.0)
+    poly = f32(-0.0012624911)
+    for c in (0.0066700901, -0.0170881256, 0.0308918810, -0.0501743046,
+              0.0889789874, -0.2145988016, 1.5707963050):
+        poly = poly * xa + f32(c)
+    ang = jnp.degrees(jnp.sqrt(jnp.maximum(1.0 - xa, f32(0))) * poly)
+    conf_ang = jnp.exp(-ang * ang * inv_sig_a2)
+
+    # spatial gate: shared source rays => depth-delta test
+    # (cudawrapper.cu:387-401)
+    dd1 = jnp.abs(row(_D1) - col(_D1))
+    dd2 = jnp.abs(row(_D2) - col(_D2))
+    gate = (dd1 <= spatial_k * row(_D1)) & \
+           (dd2 <= spatial_k * row(_D2))
+
+    iota_m2 = jax.lax.broadcasted_iota(jnp.int32, (M, M), 0)
+    iota_m = jax.lax.broadcasted_iota(jnp.int32, (M, M), 1)
+    pair_ok = ((valid_row > 0.5) & (valid_col > 0.5) & gate
+               & (G[_POK] > 0.5) & (iota_m2 != iota_m))
+
+    conf = jnp.minimum(conf_pos, conf_ang)
+    conf = jnp.where(pair_ok & (conf > support_threshold), conf, f32(0))
+
+    # per-camera max over m2 (sublanes), summed over cameras != cam[m]
+    total = jnp.zeros((1, M), f32)
+    for n in range(num_cams):
+        cmax = jnp.max(jnp.where(cam_col == f32(n), conf, f32(0)),
+                       axis=0, keepdims=True)
+        total = total + jnp.where(cam_row == f32(n), f32(0), cmax)
+
+    out_ref[0, 0:1, :] = jnp.where(valid_row > 0.5, total, f32(0))
+
+
+@functools.partial(jax.jit, static_argnames=("support_threshold",
+                                             "interpret"))
+def score_matches_pallas(segs_src, mask_src, RtKinv_src, C_src,
+                         cam, tgt, depths, valid,
+                         P_nb, segs_nb,
+                         sigma_p, sigma_a, spatial_k,
+                         support_threshold=0.5,
+                         interpret: bool = False):
+    """Drop-in Pallas replacement for scoring.score_matches.
+
+    M (the match-slot axis) must be a multiple of 128.  sigma_p / sigma_a /
+    spatial_k are baked into the kernel as compile-time constants (they are
+    config values, constant across a run).
+    """
+    S, M = cam.shape
+    N = P_nb.shape[0]
+    St = segs_nb.shape[1]
+    assert M % 128 == 0, M
+    f32 = jnp.float32
+
+    p1, p2 = g.seg_endpoints(segs_src)              # [S, 3]
+    ray1 = g.ray_dir(RtKinv_src, p1)
+    ray2 = g.ray_dir(RtKinv_src, p2)
+
+    # target segment coords per match: [S, M, 4]
+    cam_s = jnp.maximum(cam, 0)
+    flat = cam_s * St + jnp.maximum(tgt, 0)
+    tcoords = segs_nb.reshape(N * St, 4)[flat.reshape(-1)].reshape(S, M, 4)
+    tq1 = g.hom(tcoords[..., 0:2])
+    tq2 = g.hom(tcoords[..., 2:4])
+    tline = jnp.cross(tq1, tq2)
+    itden = 1.0 / jnp.maximum(
+        jnp.sqrt(tline[..., 0] ** 2 + tline[..., 1] ** 2), EPS)
+
+    d1 = depths[..., 0]
+    d2 = depths[..., 1]
+    P1 = C_src + d1[..., None] * ray1[:, None, :]   # [S, M, 3]
+    P2 = C_src + d2[..., None] * ray2[:, None, :]
+    dir3 = P2 - P1
+    dirn = dir3 / jnp.maximum(
+        jnp.linalg.norm(dir3, axis=-1, keepdims=True), EPS)
+
+    def proj_all(P):
+        Ph = jnp.concatenate([P, jnp.ones_like(P[..., :1])], axis=-1)
+        q = jnp.einsum("smk,nik->snim", Ph, P_nb,
+                       precision=jax.lax.Precision.HIGHEST)  # [S, N, 3, M]
+        z = q[:, :, 2]
+        ok = jnp.abs(z) > EPS
+        zs = jnp.where(ok, z, 1.0)
+        return q[:, :, 0] / zs, q[:, :, 1] / zs, ok  # [S, N, M] each
+
+    px1, py1, ok1 = proj_all(P1)
+    px2, py2, ok2 = proj_all(P2)
+    pok = (ok1 & ok2).astype(f32)
+    plx = py1 - py2
+    ply = px2 - px1
+    plz = px1 * py2 - py1 * px2
+    ipld = 1.0 / jnp.maximum(jnp.sqrt(plx ** 2 + ply ** 2), EPS)
+
+    proj = jnp.stack([px1, py1, px2, py2, plx, ply, plz, ipld, pok],
+                     axis=1)                         # [S, 9, N, M]
+
+    pm = jnp.zeros((S, _PM, M), f32)
+    for k, v in ((_D1, d1), (_D2, d2),
+                 (_CAM, cam.astype(f32)), (_VALID, valid.astype(f32)),
+                 (_TLX, tline[..., 0]), (_TLY, tline[..., 1]),
+                 (_TLZ, tline[..., 2]), (_ITDEN, itden),
+                 (_Q1X, tq1[..., 0]), (_Q1Y, tq1[..., 1]),
+                 (_Q2X, tq2[..., 0]), (_Q2Y, tq2[..., 1]),
+                 (_DIRX, dirn[..., 0]), (_DIRY, dirn[..., 1]),
+                 (_DIRZ, dirn[..., 2])):
+        pm = pm.at[:, k, :].set(v)
+    pm_row = pm
+    pm_col = jnp.transpose(pm, (0, 2, 1))            # [S, M, 16]
+
+    params = jnp.stack([
+        1.0 / (2.0 * sigma_p * sigma_p),
+        1.0 / (2.0 * sigma_a * sigma_a),
+        spatial_k,
+        jnp.float32(support_threshold),
+    ]).astype(f32).reshape(1, 4)
+
+    kernel = functools.partial(_kernel, num_cams=N, m_slots=M)
+    conf = pl.pallas_call(
+        kernel,
+        grid=(S,),
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _PM, M), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, _PM), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _PJ, N, M), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, M), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, 1, M), f32),
+        interpret=interpret,
+    )(params, pm_row, pm_col, proj)
+    return conf[:, 0, :]

@@ -32,7 +32,7 @@ from ..scene import Scene
 from ..match import pairwise, scoring
 
 
-def _single_view_step(segments, seg_mask, args, m_pair, m_total, row_chunk,
+def _single_view_step(segments, seg_mask, args, quota, m_total, row_chunk,
                       conf_t, sigma_p, sigma_a, k_export):
     (segs_src, mask_src, RtKinv_src, C_src,
      nb_ids, F_nb, RtKinv_nb, C_nb, P_nb, nb_mask,
@@ -45,9 +45,14 @@ def _single_view_step(segments, seg_mask, args, m_pair, m_total, row_chunk,
 
     res = pairwise.match_view_against_neighbors(
         segs_src, mask_src & view_active, RtKinv_src, C_src,
-        segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, nb_mask, m_pair)
+        segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, nb_mask, quota,
+        min_capacity=m_total)
 
-    cam, tgt, depths, valid = pairwise.merge_neighbor_tables(res, m_total)
+    cam, tgt, valid = pairwise.merge_neighbor_tables(
+        res, m_total, segs_nb.shape[1])
+    depths = pairwise.depths_for_matches(
+        segs_src, segs_nb, cam, tgt, valid,
+        F_nb, RtKinv_src, RtKinv_nb, C_src, C_nb)
 
     conf = scoring.score_matches(
         segs_src, mask_src, RtKinv_src, C_src,
@@ -100,11 +105,11 @@ def _single_view_step(segments, seg_mask, args, m_pair, m_total, row_chunk,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("m_pair", "m_total", "row_chunk",
+                   static_argnames=("quota", "m_total", "row_chunk",
                                     "k_export", "mesh", "axis"))
 def sharded_match_all_views(segments, seg_mask, stacks,
                             sigma_p, sigma_a, conf_t,
-                            m_pair, m_total, row_chunk, k_export,
+                            quota, m_total, row_chunk, k_export,
                             mesh, axis="views"):
     """Match every view against its neighbors, sharded over `mesh`.
 
@@ -125,7 +130,7 @@ def sharded_match_all_views(segments, seg_mask, stacks,
                    args["C_nb"], args["P_nb"], args["nb_mask"],
                    args["spatial_k"], args["view_active"])
         return _single_view_step(segments, seg_mask, ordered,
-                                 m_pair, m_total, row_chunk,
+                                 quota, m_total, row_chunk,
                                  conf_t, sigma_p, sigma_a, k_export)
 
     out = jax.lax.map(per_view, sharded)

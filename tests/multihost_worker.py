@@ -78,7 +78,7 @@ out = sharded.sharded_match_all_views(
     segments_g, seg_mask_g, stacks_g,
     np.float32(cfg.sigma_p), np.float32(cfg.sigma_a),
     np.float32(cfg.confidence_threshold),
-    m_pair=min(cfg.max_matches_per_segment, S),
+    quota=cfg.match_block_quota,
     m_total=min(cfg.max_matches_per_segment, S),
     row_chunk=min(128, S), k_export=S * 8, mesh=mesh)
 

@@ -144,3 +144,69 @@ def test_full_matching_engine():
 
     # median depths should be near the camera-to-scene distance (~4)
     assert np.all(med > 0)
+
+
+def test_blockq_compaction_semantics():
+    valid = np.zeros((2, 256), bool)
+    valid[0, [1, 3, 130, 131, 255]] = True
+    # block 1 has 10 valid entries -> quota 8 drops the two largest
+    valid[1, 128 + np.arange(10) * 3] = True
+    tgt, kept, n_valid = pairwise.compact_rows_blockq(jnp.asarray(valid), 8)
+    tgt = np.asarray(tgt)
+    kept = np.asarray(kept)
+    # row 0: block 0 -> [1, 3], block 1 -> [130, 131, 255]
+    assert tgt[0][kept[0]].tolist() == [1, 3, 130, 131, 255]
+    assert tgt[1][kept[1]].tolist() == (128 + np.arange(8) * 3).tolist()
+    assert np.asarray(n_valid).tolist() == [5, 10]
+
+
+def test_blockq_pipeline_matches_dense_path():
+    """merge + depths_for_matches must reproduce the dense per-pair depths
+    for every kept match (same math evaluated at the compacted shape)."""
+    syn = make_scene(num_views=6)
+    cams = syn.cameras
+    sc = syn.scene
+    v = 0
+    nb = np.array([1, 2], np.int64)
+    S = sc.max_segments
+    F_nb = cams.fundamentals_for_pairs(
+        np.stack([np.full(len(nb), v), nb], axis=1)).astype(np.float32)
+    segs_nb = _f32(sc.segments[nb])
+    mask_nb = jnp.asarray(sc.seg_mask[nb])
+    RtKinv_nb = _f32(cams.RtKinv[nb])
+    C_nb = _f32(cams.C[nb])
+
+    res = pairwise.match_view_against_neighbors(
+        _f32(sc.segments[v]), jnp.asarray(sc.seg_mask[v]),
+        _f32(cams.RtKinv[v]), _f32(cams.C[v]),
+        segs_nb, mask_nb, jnp.asarray(F_nb), RtKinv_nb, C_nb,
+        jnp.asarray(np.ones(len(nb), bool)), quota=8, min_capacity=S)
+    cam, tgt, valid = pairwise.merge_neighbor_tables(res, 256, S)
+    depths = pairwise.depths_for_matches(
+        _f32(sc.segments[v]), segs_nb, cam, tgt, valid,
+        jnp.asarray(F_nb), _f32(cams.RtKinv[v]), RtKinv_nb,
+        _f32(cams.C[v]), C_nb)
+    cam, tgt, valid, depths = map(np.asarray, (cam, tgt, valid, depths))
+
+    # dense reference per neighbor
+    for slot, n in enumerate(nb):
+        dd, vv = pairwise.match_pair_dense(
+            _f32(sc.segments[v]), _f32(sc.segments[n]),
+            jnp.asarray(sc.seg_mask[v]), jnp.asarray(sc.seg_mask[n]),
+            jnp.asarray(F_nb[slot]), _f32(cams.RtKinv[v]),
+            _f32(cams.RtKinv[n]), _f32(cams.C[v]), _f32(cams.C[n]))
+        vv = np.asarray(vv)
+        dd = np.stack([np.asarray(d) for d in dd], axis=-1)
+        want = {(s, j) for s, j in zip(*np.nonzero(vv))}
+        got = {(s, int(tgt[s, m]))
+               for s, m in zip(*np.nonzero(valid & (cam == slot)))}
+        assert got == want, f"neighbor {n}: match sets differ"
+        for s, m in zip(*np.nonzero(valid & (cam == slot))):
+            np.testing.assert_allclose(
+                depths[s, m], dd[s, tgt[s, m]], rtol=1e-4, atol=1e-5)
+
+    # merged table ordered by (cam, tgt) ascending within kept slots
+    per_row = [row[np.asarray(valid[i], bool)]
+               for i, row in enumerate(cam.astype(np.int64) * S + tgt)]
+    for row in per_row:
+        assert np.all(np.diff(row) > 0)

@@ -84,7 +84,7 @@ def test_two_process_orchestration(tmp_path):
         segments, seg_mask, stacks,
         np.float32(cfg.sigma_p), np.float32(cfg.sigma_a),
         np.float32(cfg.confidence_threshold),
-        m_pair=min(cfg.max_matches_per_segment, S),
+        quota=cfg.match_block_quota,
         m_total=min(cfg.max_matches_per_segment, S),
         row_chunk=min(128, S), k_export=S * 8, mesh=mesh)
     np.testing.assert_array_equal(o0["nb_ids"], nb_ids)

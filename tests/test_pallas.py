@@ -30,3 +30,50 @@ def test_pallas_kernel_matches_soa_interpret():
         a = np.asarray(d_x[k])[both]
         b = np.asarray(d_p[k])[both]
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_valid_kernel_matches_dense_interpret():
+    syn = make_scene(num_views=6)
+    cams, sc = syn.cameras, syn.scene
+    v, n = 0, 2
+    f32 = lambda x: jnp.asarray(np.asarray(x, np.float32))
+    args = (f32(sc.segments[v]), f32(sc.segments[n]),
+            jnp.asarray(sc.seg_mask[v]), jnp.asarray(sc.seg_mask[n]),
+            jnp.asarray(cams.fundamental(v, n).astype(np.float32)),
+            f32(cams.RtKinv[v]), f32(cams.RtKinv[n]),
+            f32(cams.C[v]), f32(cams.C[n]))
+    _, v_full = pairwise_pallas.match_pair_dense_pallas(
+        *args, block_s=64, block_t=128, interpret=True)
+    v_only = pairwise_pallas.match_pair_valid_pallas(
+        *args, block_s=64, block_t=128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(v_full), np.asarray(v_only))
+
+
+def test_pallas_scoring_matches_xla_interpret():
+    """scoring_pallas (interpret mode) reproduces scoring.score_matches."""
+    from line3d_tpu.match import scoring, scoring_pallas
+    S, M, N, St = 64, 128, 4, 128
+    rng = np.random.default_rng(5)
+    f32 = lambda x: jnp.asarray(np.asarray(x, np.float32))
+    segs_src = f32(rng.uniform(0, 300, (S, 4)))
+    mask_src = jnp.ones(S, bool)
+    RtKinv = f32(np.eye(3))
+    C = f32(rng.normal(size=3))
+    cam = jnp.asarray(rng.integers(-1, N, (S, M)).astype(np.int32))
+    tgt = jnp.asarray(rng.integers(0, St, (S, M)).astype(np.int32))
+    depths = f32(rng.uniform(0.5, 3.0, (S, M, 4)))
+    valid = jnp.asarray((rng.uniform(size=(S, M)) < 0.4)
+                        & (np.asarray(cam) >= 0))
+    P_nb = f32(rng.normal(size=(N, 3, 4)))
+    segs_nb = f32(rng.uniform(0, 300, (N, St, 4)))
+    # loose sigmas so support values actually flow
+    sp, sa, sk = jnp.float32(200.0), jnp.float32(90.0), jnp.float32(3.0)
+    ref = scoring.score_matches(segs_src, mask_src, RtKinv, C, cam, tgt,
+                                depths, valid, P_nb, segs_nb, sp, sa, sk,
+                                row_chunk=32)
+    got = scoring_pallas.score_matches_pallas(
+        segs_src, mask_src, RtKinv, C, cam, tgt, depths, valid, P_nb,
+        segs_nb, sp, sa, sk, interpret=True)
+    ref, got = np.asarray(ref), np.asarray(got)
+    assert (ref > 0).sum() > 50
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-4)

@@ -47,7 +47,7 @@ def test_sharded_matches_single_chip(setup):
         segments, seg_mask, stacks,
         np.float32(cfg.sigma_p), np.float32(cfg.sigma_a),
         np.float32(cfg.confidence_threshold),
-        m_pair=min(cfg.max_matches_per_segment, S),
+        quota=cfg.match_block_quota,
         m_total=min(cfg.max_matches_per_segment, S),
         row_chunk=min(128, S), k_export=S * 8, mesh=mesh)
     out = {k: np.asarray(v) for k, v in out.items()}
