@@ -202,3 +202,22 @@ def score_matches(segs_src, mask_src, RtKinv_src, C_src,
     conf = jax.lax.map(chunk_fn, args)
     conf = conf.reshape(n_chunks * row_chunk, M)[:S]
     return conf
+
+
+def score_matches_best(segs_src, mask_src, RtKinv_src, C_src,
+                       cam, tgt, depths, valid, P_nb, segs_nb,
+                       sigma_p, sigma_a, spatial_k,
+                       support_threshold=0.5, row_chunk=128):
+    """Backend dispatch: fused Pallas kernel on TPU (scoring_pallas, ~2x
+    the XLA formulation at production shape), XLA elsewhere (CPU tests)."""
+    from .pairwise import use_pallas
+    if use_pallas() and cam.shape[1] % 128 == 0:
+        from .scoring_pallas import score_matches_pallas
+        return score_matches_pallas(
+            segs_src, mask_src, RtKinv_src, C_src, cam, tgt, depths, valid,
+            P_nb, segs_nb, sigma_p, sigma_a, spatial_k,
+            support_threshold=support_threshold)
+    return score_matches(
+        segs_src, mask_src, RtKinv_src, C_src, cam, tgt, depths, valid,
+        P_nb, segs_nb, sigma_p, sigma_a, spatial_k,
+        support_threshold=support_threshold, row_chunk=row_chunk)

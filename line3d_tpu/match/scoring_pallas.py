@@ -24,13 +24,13 @@ camera-select gather needs no transposes.
 Host-visible API: score_matches_pallas, a drop-in replacement for
 scoring.score_matches (equivalence-tested in tests/test_pallas.py).
 
-Status: NOT the engine default.  The kernel itself is ~as fast as the XLA
-path at production shape, but its input-layout prep (the [S, M, 16]
-transposed per-match planes and the [S, 9, N, M] projection stack) pays
-TPU minor-dim padding costs that currently outweigh the fusion win; the
-XLA formulation in scoring.py remains the production path.  Kept as the
-second implementation of the stage (see CLAUDE.md design invariants) and
-as the starting point for a layout-native rewrite.
+This is the TPU production path (scoring.score_matches_best dispatch):
+~13 ms vs ~24 ms for the XLA formulation at production shape.  Input prep
+is deliberately layout-native — all [S, M]-minor elementwise planes, the
+camera axis unrolled, and the column-broadcast transpose done in-VMEM
+inside the kernel (shipping a transposed [S, M, 16] array pays minor-dim
+padding on every HBM load; an einsum emitting [S, N, 3, M] costs ~14 ms
+per plane in transposed divide fusions — both profiled).
 """
 from __future__ import annotations
 
@@ -58,7 +58,7 @@ _POK = 8
 _PJ = 9
 
 
-def _kernel(params_ref, pm_row_ref, pm_col_ref, proj_ref, out_ref, *,
+def _kernel(params_ref, pm_row_ref, proj_ref, out_ref, *,
             num_cams, m_slots):
     M = m_slots
     f32 = jnp.float32
@@ -67,8 +67,13 @@ def _kernel(params_ref, pm_row_ref, pm_col_ref, proj_ref, out_ref, *,
     spatial_k = params_ref[0, 2]
     support_threshold = params_ref[0, 3]
 
+    # column broadcasts come from one in-VMEM [16, M] -> [M, 16] transpose
+    # (shipping a transposed [S, M, 16] array would pay minor-dim-16 HBM
+    # padding on every load)
+    pm_colT = jnp.transpose(pm_row_ref[0], (1, 0))   # [M, 16]
+
     def col(k):                       # [M, 1] — m2 (supporting match) axis
-        return pm_col_ref[0, :, k:k + 1]
+        return pm_colT[:, k:k + 1]
 
     def row(k):                       # [1, M] — m (scored match) axis
         return pm_row_ref[0, k:k + 1, :]
@@ -159,35 +164,54 @@ def score_matches_pallas(segs_src, mask_src, RtKinv_src, C_src,
     ray1 = g.ray_dir(RtKinv_src, p1)
     ray2 = g.ray_dir(RtKinv_src, p2)
 
-    # target segment coords per match: [S, M, 4]
+    # target segment coords per match: [S, M, 4] gather, then elementwise
+    # [S, M] planes (no [S, M, 3] minor-dim intermediates)
     cam_s = jnp.maximum(cam, 0)
     flat = cam_s * St + jnp.maximum(tgt, 0)
     tcoords = segs_nb.reshape(N * St, 4)[flat.reshape(-1)].reshape(S, M, 4)
-    tq1 = g.hom(tcoords[..., 0:2])
-    tq2 = g.hom(tcoords[..., 2:4])
-    tline = jnp.cross(tq1, tq2)
-    itden = 1.0 / jnp.maximum(
-        jnp.sqrt(tline[..., 0] ** 2 + tline[..., 1] ** 2), EPS)
+    q1x, q1y = tcoords[..., 0], tcoords[..., 1]
+    q2x, q2y = tcoords[..., 2], tcoords[..., 3]
+    tlx = q1y - q2y
+    tly = q2x - q1x
+    tlz = q1x * q2y - q1y * q2x
+    itden = 1.0 / jnp.maximum(jnp.sqrt(tlx * tlx + tly * tly), EPS)
 
     d1 = depths[..., 0]
     d2 = depths[..., 1]
-    P1 = C_src + d1[..., None] * ray1[:, None, :]   # [S, M, 3]
-    P2 = C_src + d2[..., None] * ray2[:, None, :]
-    dir3 = P2 - P1
-    dirn = dir3 / jnp.maximum(
-        jnp.linalg.norm(dir3, axis=-1, keepdims=True), EPS)
+    # hypothesis direction: (C + d2 ray2) - (C + d1 ray1), per component
+    dirc = [d2 * ray2[:, i:i + 1] - d1 * ray1[:, i:i + 1] for i in range(3)]
+    dnorm = jnp.maximum(jnp.sqrt(dirc[0] ** 2 + dirc[1] ** 2
+                                 + dirc[2] ** 2), EPS)
+    dirn = [c / dnorm for c in dirc]
 
-    def proj_all(P):
-        Ph = jnp.concatenate([P, jnp.ones_like(P[..., :1])], axis=-1)
-        q = jnp.einsum("smk,nik->snim", Ph, P_nb,
-                       precision=jax.lax.Precision.HIGHEST)  # [S, N, 3, M]
-        z = q[:, :, 2]
-        ok = jnp.abs(z) > EPS
-        zs = jnp.where(ok, z, 1.0)
-        return q[:, :, 0] / zs, q[:, :, 1] / zs, ok  # [S, N, M] each
+    def proj_all(d, ray):
+        """Project C_src + d*ray into every neighbor camera.
 
-    px1, py1, ok1 = proj_all(P1)
-    px2, py2, ok2 = proj_all(P2)
+        Fully elementwise in [S, M] minor layout with the tiny camera axis
+        unrolled — an einsum emitting [S, N, 3, M] forces transposed
+        divide/select fusions that cost ~14 ms per plane at production
+        shape (profiled; see CLAUDE.md landmines).
+        """
+        comp = [C_src[i] + d * ray[:, i:i + 1] for i in range(3)]  # [S,M]x3
+        pxs, pys, oks = [], [], []
+        for n in range(N):
+            Pn = P_nb[n]
+            qx = (Pn[0, 0] * comp[0] + Pn[0, 1] * comp[1]
+                  + Pn[0, 2] * comp[2] + Pn[0, 3])
+            qy = (Pn[1, 0] * comp[0] + Pn[1, 1] * comp[1]
+                  + Pn[1, 2] * comp[2] + Pn[1, 3])
+            qz = (Pn[2, 0] * comp[0] + Pn[2, 1] * comp[1]
+                  + Pn[2, 2] * comp[2] + Pn[2, 3])
+            ok = jnp.abs(qz) > EPS
+            zs = jnp.where(ok, qz, 1.0)
+            pxs.append(qx / zs)
+            pys.append(qy / zs)
+            oks.append(ok)
+        return (jnp.stack(pxs, axis=1), jnp.stack(pys, axis=1),
+                jnp.stack(oks, axis=1))              # [S, N, M] each
+
+    px1, py1, ok1 = proj_all(d1, ray1)
+    px2, py2, ok2 = proj_all(d2, ray2)
     pok = (ok1 & ok2).astype(f32)
     plx = py1 - py2
     ply = px2 - px1
@@ -197,18 +221,13 @@ def score_matches_pallas(segs_src, mask_src, RtKinv_src, C_src,
     proj = jnp.stack([px1, py1, px2, py2, plx, ply, plz, ipld, pok],
                      axis=1)                         # [S, 9, N, M]
 
-    pm = jnp.zeros((S, _PM, M), f32)
-    for k, v in ((_D1, d1), (_D2, d2),
-                 (_CAM, cam.astype(f32)), (_VALID, valid.astype(f32)),
-                 (_TLX, tline[..., 0]), (_TLY, tline[..., 1]),
-                 (_TLZ, tline[..., 2]), (_ITDEN, itden),
-                 (_Q1X, tq1[..., 0]), (_Q1Y, tq1[..., 1]),
-                 (_Q2X, tq2[..., 0]), (_Q2Y, tq2[..., 1]),
-                 (_DIRX, dirn[..., 0]), (_DIRY, dirn[..., 1]),
-                 (_DIRZ, dirn[..., 2])):
-        pm = pm.at[:, k, :].set(v)
-    pm_row = pm
-    pm_col = jnp.transpose(pm, (0, 2, 1))            # [S, M, 16]
+    # slot order must match the _D1.._DIRZ indices above
+    planes = [d1, d2, cam.astype(f32), valid.astype(f32),
+              tlx, tly, tlz, itden,
+              q1x, q1y, q2x, q2y,
+              dirn[0], dirn[1], dirn[2],
+              jnp.zeros((S, M), f32)]
+    pm_row = jnp.stack(planes, axis=1)               # [S, 16, M]
 
     params = jnp.stack([
         1.0 / (2.0 * sigma_p * sigma_p),
@@ -226,8 +245,6 @@ def score_matches_pallas(segs_src, mask_src, RtKinv_src, C_src,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _PM, M), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M, _PM), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _PJ, N, M), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -235,5 +252,5 @@ def score_matches_pallas(segs_src, mask_src, RtKinv_src, C_src,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((S, 1, M), f32),
         interpret=interpret,
-    )(params, pm_row, pm_col, proj)
+    )(params, pm_row, proj)
     return conf[:, 0, :]

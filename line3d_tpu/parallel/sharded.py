@@ -54,7 +54,7 @@ def _single_view_step(segments, seg_mask, args, quota, m_total, row_chunk,
         segs_src, segs_nb, cam, tgt, valid,
         F_nb, RtKinv_src, RtKinv_nb, C_src, C_nb)
 
-    conf = scoring.score_matches(
+    conf = scoring.score_matches_best(
         segs_src, mask_src, RtKinv_src, C_src,
         cam, tgt, depths, valid, P_nb, segs_nb,
         sigma_p, sigma_a, spatial_k, row_chunk=row_chunk)
