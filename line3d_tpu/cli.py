@@ -54,6 +54,9 @@ def _add_common_flags(ap: argparse.ArgumentParser):
                     default=d.refine_lines,
                     help="bundle-adjust 3D lines against member segments "
                          "(extension; no reference equivalent)")
+    ap.add_argument("--detect_workers", type=int, default=0,
+                    help="threads for parallel image load/undistort/detect "
+                         "(0 = auto; the reference detects sequentially)")
 
 
 def _config_from_args(args) -> L3DConfig:
@@ -115,6 +118,16 @@ def main_bundler(argv=None):
 
     ds = bundler_io.load_bundler_scene(args.input_folder)
     print(f"[SYS] num_cameras: {len(ds.focal)}")
+
+    def loader(i):
+        def _load():
+            img = img_io.load_image(ds.image_paths[i])
+            K = img_io.make_K(ds.focal[i], img.shape[1], img.shape[0])
+            d1, d2 = ds.distortion[i]
+            return img_io.undistort(img, K, d1, d2)
+        return _load
+
+    items = []
     for i in range(len(ds.focal)):
         if ds.image_paths[i] is None:
             print(f"[SYS] warning: no image found for cam {i}")
@@ -122,13 +135,16 @@ def main_bundler(argv=None):
         if len(ds.wp_lists[i]) == 0:
             print(f"[SYS] skipping unlinked image {i}")
             continue
-        img = img_io.load_image(ds.image_paths[i])
-        K = img_io.make_K(ds.focal[i], img.shape[1], img.shape[0])
-        d1, d2 = ds.distortion[i]
-        img = img_io.undistort(img, K, d1, d2)
-        l3d.add_image(i, img, K, ds.R[i], ds.t[i], ds.wp_lists[i],
-                      max_img_width=args.max_image_width,
-                      load_and_store_segments=args.load_and_store_flag)
+        items.append(i)
+    prepared = []
+    for i in items:
+        img_shape = img_io.image_size(ds.image_paths[i])
+        K = img_io.make_K(ds.focal[i], img_shape[0], img_shape[1])
+        prepared.append((i, loader(i), K, ds.R[i], ds.t[i], ds.wp_lists[i]))
+    l3d.add_images_parallel(prepared,
+                            max_img_width=args.max_image_width,
+                            load_and_store_segments=args.load_and_store_flag,
+                            workers=args.detect_workers or None)
     _finish(l3d, args, output_folder)
 
 
@@ -149,18 +165,29 @@ def main_vsfm(argv=None):
 
     ds = nvm_io.load_nvm_scene(args.nvm_file)
     print(f"[SYS] num_cameras: {len(ds.focal)}")
+
+    def loader(i, path):
+        def _load():
+            img = img_io.load_image(path)
+            K = img_io.make_K(ds.focal[i], img.shape[1], img.shape[0])
+            # single-coefficient model, negated (main_vsfm.cpp:259)
+            return img_io.undistort(img, K, -ds.distortion[i])
+        return _load
+
+    prepared = []
     for i in range(len(ds.focal)):
         if len(ds.wp_lists[i]) == 0:
             print(f"[SYS] skipping unlinked image {i}")
             continue
-        img = img_io.load_image(os.path.join(image_folder,
-                                             ds.image_names[i]))
-        K = img_io.make_K(ds.focal[i], img.shape[1], img.shape[0])
-        # single-coefficient model, negated (main_vsfm.cpp:259)
-        img = img_io.undistort(img, K, -ds.distortion[i])
-        l3d.add_image(i, img, K, ds.R[i], ds.t[i], ds.wp_lists[i],
-                      max_img_width=args.max_image_width,
-                      load_and_store_segments=args.load_and_store_flag)
+        path = os.path.join(image_folder, ds.image_names[i])
+        w, h = img_io.image_size(path)
+        K = img_io.make_K(ds.focal[i], w, h)
+        prepared.append((i, loader(i, path), K, ds.R[i], ds.t[i],
+                         ds.wp_lists[i]))
+    l3d.add_images_parallel(prepared,
+                            max_img_width=args.max_image_width,
+                            load_and_store_segments=args.load_and_store_flag,
+                            workers=args.detect_workers or None)
     _finish(l3d, args, output_folder)
 
 

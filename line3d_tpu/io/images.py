@@ -92,3 +92,10 @@ def undistort(img: np.ndarray, K: np.ndarray, k1: float,
     inside = (xd >= 0) & (xd <= w - 1) & (yd >= 0) & (yd <= h - 1)
     out = np.where(inside[..., None] if img.ndim == 3 else inside, out, 0)
     return out.astype(img.dtype)
+
+
+def image_size(path: str) -> tuple:
+    """(width, height) without decoding pixel data (PIL lazy open)."""
+    from PIL import Image
+    with Image.open(path) as im:
+        return im.size

@@ -77,9 +77,6 @@ class Line3D:
         `image` may be an HxW(x3) array, or None if segments are supplied via
         `add_view_segments` / the cache.
         """
-        from .detect import detector
-        from .io import cache as seg_cache
-
         if image_id in self._images:
             raise ValueError(f"image id {image_id} already in use")
         if worldpoint_ids is None and self._fixed_sim is None:
@@ -90,7 +87,25 @@ class Line3D:
         store = cfg.load_and_store_segments if load_and_store_segments is None \
             else load_and_store_segments
 
-        img = np.asarray(image)
+        segs, (w, h), dt = self._segments_for_image(image_id, image,
+                                                    max_w, store)
+        self.stats["t_detect"] = self.stats.get("t_detect", 0.0) + dt
+        self.add_view_segments(image_id, segs, K, R, t, worldpoint_ids,
+                               width=w, height=h)
+
+    def _segments_for_image(self, image_id: int, image, max_w: int,
+                            store: bool):
+        """Detect (or load cached) segments for one image.
+
+        Thread-safe (pure numpy/XLA-CPU work + the segment cache, no shared
+        pipeline state) — add_images_parallel maps it over a thread pool.
+        Returns (segments [N, 4], (width, height), detect_seconds).
+        """
+        from .detect import detector
+        from .io import cache as seg_cache
+
+        cfg = self.config
+        img = np.asarray(image() if callable(image) else image)
         h, w = img.shape[:2]
 
         new_w, new_h = w, h
@@ -105,18 +120,65 @@ class Line3D:
                 self.data_directory, image_id, new_w, new_h,
                 cfg.use_collinearity)
             segs = seg_cache.load_segments(cache_file)
+        dt = 0.0
         if segs is None:
             t0 = time.time()
             min_len = cfg.min_line_length_factor * np.hypot(h, w)
             segs = detector.detect_line_segments(
                 img, new_w, new_h, min_len, cfg.max_num_segments)
-            self.stats["t_detect"] = self.stats.get("t_detect", 0.0) + \
-                (time.time() - t0)
+            dt = time.time() - t0
             if cache_file:
                 seg_cache.save_segments(cache_file, segs)
+        return segs, (w, h), dt
 
-        self.add_view_segments(image_id, segs, K, R, t, worldpoint_ids,
-                               width=w, height=h)
+    def add_images_parallel(self, items, max_img_width: int | None = None,
+                            load_and_store_segments: bool | None = None,
+                            workers: int | None = None):
+        """Add many images with detection running in a thread pool.
+
+        The reference detects strictly sequentially inside addImage
+        (line3D.cc:95-217); detection here is host-side work that releases
+        the GIL (numpy / XLA-CPU / the native ctypes back half), so
+        per-image parallelism and overlap of image I/O is free.
+
+        Args:
+          items: iterable of (image_id, image_or_loader, K, R, t,
+            worldpoint_ids); `image_or_loader` may be a zero-arg callable
+            returning the image so file loading/undistortion also runs in
+            the worker thread.
+          workers: thread count (default: os.cpu_count(), capped at 8).
+
+        Views are registered in the given item order regardless of thread
+        completion order, so results are deterministic.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        items = list(items)
+        cfg = self.config
+        max_w = cfg.max_image_width if max_img_width is None \
+            else max_img_width
+        store = cfg.load_and_store_segments if load_and_store_segments \
+            is None else load_and_store_segments
+        for image_id, _img, _K, _R, _t, wp_ids in items:
+            if image_id in self._images:
+                raise ValueError(f"image id {image_id} already in use")
+            if wp_ids is None and self._fixed_sim is None:
+                raise ValueError(
+                    "unlinked images cannot be added (no worldpoints)")
+        if workers is None:
+            workers = min(os.cpu_count() or 1, 8)
+
+        t0 = time.time()
+        with ThreadPoolExecutor(max_workers=max(1, workers)) as ex:
+            results = list(ex.map(
+                lambda it: self._segments_for_image(it[0], it[1], max_w,
+                                                    store), items))
+        self.stats["t_detect"] = self.stats.get("t_detect", 0.0) + \
+            (time.time() - t0)
+        for (image_id, _, K, R, t, wp_ids), (segs, (w, h), _dt) in zip(
+                items, results):
+            self.add_view_segments(image_id, segs, K, R, t, wp_ids,
+                                   width=w, height=h)
 
     def add_view_segments(self, image_id: int, segments, K, R, t,
                           worldpoint_ids=None, width: int = 0,
