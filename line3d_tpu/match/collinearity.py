@@ -72,3 +72,99 @@ def collinearity_maps(scene_segments, scene_mask, coll_sigma: float):
             d.setdefault(i, {})[j] = float(m[i, j])
         out.append(d)
     return out
+
+
+def _pair_aff(si, sj, mask_i, mask_j, not_self, coll_sigma_sq):
+    """Collinearity affinity for explicit segment pairs.
+
+    si: [S, 4] (row segment, broadcast over K); sj: [S, K, 4] partners.
+    Same math as collinearity_matrix, evaluated only at the given pairs.
+    Returns [S, K] weights (0 where gated out).
+    """
+    p1x, p1y = si[:, 0:1], si[:, 1:2]
+    p2x, p2y = si[:, 2:3], si[:, 3:4]
+    q1x, q1y = sj[..., 0], sj[..., 1]
+    q2x, q2y = sj[..., 2], sj[..., 3]
+
+    # supporting lines (cross of homogeneous endpoints), elementwise
+    lia = p1y - p2y; lib = p2x - p1x; lic = p1x * p2y - p1y * p2x  # [S, 1]
+    lja = q1y - q2y; ljb = q2x - q1x; ljc = q1x * q2y - q1y * q2x  # [S, K]
+
+    def dist(a, b, c, x, y):
+        den = jnp.sqrt(jnp.maximum(a * a + b * b, g.EPS))
+        return jnp.abs(a * x + b * y + c) / den
+
+    d = jnp.maximum(
+        jnp.maximum(dist(lja, ljb, ljc, p1x, p1y),
+                    dist(lja, ljb, ljc, p2x, p2y)),
+        jnp.maximum(dist(lia, lib, lic, q1x, q1y),
+                    dist(lia, lib, lic, q2x, q2y)))
+    aff = jnp.exp(-d * d / (2.0 * coll_sigma_sq))
+
+    dot = lambda ux, uy, vx, vy: ux * vx + uy * vy
+    pos1 = dot(q1x - p1x, q1y - p1y, q2x - p1x, q2y - p1y)
+    pos2 = dot(q1x - p2x, q1y - p2y, q2x - p2x, q2y - p2y)
+    pos3 = dot(p1x - q1x, p1y - q1y, p2x - q1x, p2y - q1y)
+    pos4 = dot(p1x - q2x, p1y - q2y, p2x - q2x, p2y - q2y)
+    eps = g.EPS
+    no_overlap = (pos1 > -eps) & (pos2 > -eps) & \
+                 (pos3 > -eps) & (pos4 > -eps)
+
+    keep = (aff > 0.5) & no_overlap & mask_i & mask_j & not_self
+    return jnp.where(keep, aff, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("quota", "max_partners"))
+def collinearity_compact_all(segments, masks, coll_sigma_sq, quota=16,
+                             max_partners=64):
+    """All views' collinearity maps, compacted ON DEVICE.
+
+    Transferring the dense [S, S] maps to host costs ~37 MB/view over the
+    device link (~14 s/scene at production shape through the TPU tunnel);
+    instead the [S, S] keep-plane is compacted per 128-partner block
+    (pairwise.compact_rows_blockq), the affinity recomputed at the kept
+    pairs, and each row merged to its `max_partners` lowest-index partners,
+    so the transfer is ~0.8 MB/view.
+
+    Returns (tgt [V, S, P] int32 partner ids (-1 pads), w [V, S, P] f32).
+    """
+    from .pairwise import compact_rows_blockq
+
+    def per_view(args):
+        segs, mask = args
+        S = segs.shape[0]
+        m = collinearity_matrix(segs, mask, coll_sigma_sq)
+        tgt, kept, _ = compact_rows_blockq(m > 0.0, quota)
+        sj = segs[jnp.maximum(tgt, 0)]                  # [S, K, 4]
+        iota = jax.lax.broadcasted_iota(jnp.int32, tgt.shape, 0)
+        w = _pair_aff(segs, sj, mask[:, None],
+                      mask[jnp.maximum(tgt, 0)] & kept,
+                      tgt != iota, coll_sigma_sq)
+        # per-row merge to a tight global cap (ascending partner id)
+        P = min(max_partners, tgt.shape[1])
+        pos = jax.lax.broadcasted_iota(jnp.int32, tgt.shape, 1)
+        key = jnp.where(w > 0.0, tgt, S + pos)
+        skey, sw = jax.lax.sort((key, w), dimension=1, num_keys=1)
+        skey, sw = skey[:, :P], sw[:, :P]
+        return jnp.where(skey < S, skey, -1), jnp.where(skey < S, sw, 0.0)
+    return jax.lax.map(per_view, (segments, masks))
+
+
+def collinearity_maps_fast(scene_segments, scene_mask, coll_sigma: float,
+                           quota: int = 16, max_partners: int = 64):
+    """Drop-in replacement for collinearity_maps using the device-compacted
+    path (one dispatch for the whole scene)."""
+    sig2 = np.float32(coll_sigma * coll_sigma)
+    tgt, w = collinearity_compact_all(
+        jnp.asarray(scene_segments), jnp.asarray(scene_mask), sig2,
+        quota=quota, max_partners=max_partners)
+    tgt = np.asarray(tgt)
+    w = np.asarray(w)
+    out = []
+    for v in range(tgt.shape[0]):
+        ii, kk = np.nonzero(w[v] > 0.0)
+        d: dict = {}
+        for i, k in zip(ii.tolist(), kk.tolist()):
+            d.setdefault(i, {})[int(tgt[v, i, k])] = float(w[v, i, k])
+        out.append(d)
+    return out

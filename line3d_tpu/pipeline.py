@@ -19,7 +19,7 @@ from .core.conditioning import compute_conditioning, SceneTransform
 from .scene import Scene, view_similarities_from_worldpoints, \
     find_visual_neighbors
 from .match import engine
-from .match.collinearity import collinearity_maps
+from .match.collinearity import collinearity_maps_fast
 from .cluster import affinity, fh, diffusion as diffusion_mod
 from .fit import lines as fit_lines
 from .io import writers
@@ -245,8 +245,8 @@ class Line3D:
 
         # collinearity (L3DSegments ctor, segments.h:73-101)
         if cfg.use_collinearity:
-            scene.collin = collinearity_maps(scene.segments, scene.seg_mask,
-                                             cfg.collinearity_sigma)
+            scene.collin = collinearity_maps_fast(
+                scene.segments, scene.seg_mask, cfg.collinearity_sigma)
 
         # stage 1: visual neighbors (line3D.cc:361)
         sim = self._view_similarities()

@@ -210,3 +210,46 @@ def test_blockq_pipeline_matches_dense_path():
                for i, row in enumerate(cam.astype(np.int64) * S + tgt)]
     for row in per_row:
         assert np.all(np.diff(row) > 0)
+
+
+def test_collinearity_fast_matches_dense():
+    """Device-compacted collinearity maps == dense-matrix maps."""
+    from line3d_tpu.match import collinearity as col
+    rng = np.random.default_rng(0)
+    S = 128
+    segs = np.zeros((2, S, 4), np.float32)
+    mask = np.zeros((2, S), bool)
+    for v in range(2):
+        k = 0
+        # families of collinear, non-overlapping segments + noise segments
+        for fam in range(8):
+            x0, y0 = rng.uniform(0, 200, 2)
+            th = rng.uniform(0, np.pi)
+            c, s_ = np.cos(th), np.sin(th)
+            t = 0.0
+            for piece in range(4):
+                L = rng.uniform(15, 40)
+                gap = rng.uniform(3, 10)
+                segs[v, k] = [x0 + t*c + rng.normal(0, 0.2),
+                              y0 + t*s_ + rng.normal(0, 0.2),
+                              x0 + (t+L)*c, y0 + (t+L)*s_]
+                mask[v, k] = True
+                k += 1
+                t += L + gap
+        for _ in range(30):
+            segs[v, k] = rng.uniform(0, 300, 4)
+            mask[v, k] = True
+            k += 1
+    slow = col.collinearity_maps(segs, mask, 2.0)
+    fast = col.collinearity_maps_fast(segs, mask, 2.0)
+    assert len(slow) == len(fast)
+    n_pairs = 0
+    for dv_s, dv_f in zip(slow, fast):
+        assert dv_s.keys() == dv_f.keys()
+        for i in dv_s:
+            assert dv_s[i].keys() == dv_f[i].keys()
+            for j in dv_s[i]:
+                np.testing.assert_allclose(dv_s[i][j], dv_f[i][j],
+                                           rtol=1e-5, atol=1e-6)
+                n_pairs += 1
+    assert n_pairs > 0
