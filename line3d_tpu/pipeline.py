@@ -247,6 +247,7 @@ class Line3D:
         if cfg.use_collinearity:
             scene.collin = collinearity_maps_fast(
                 scene.segments, scene.seg_mask, cfg.collinearity_sigma)
+        t_collin = time.time() - t0
 
         # stage 1: visual neighbors (line3D.cc:361)
         sim = self._view_similarities()
@@ -295,6 +296,7 @@ class Line3D:
             num_edges=int(len(graph.edges_w)),
             num_lines=len(self.result),
             t_detect=self.stats.get("t_detect", 0.0),
+            t_setup=t_collin, t_graph=t1 - t0 - t_collin,
             t_match=t2 - t1, t_cluster=t3 - t2, t_total=t3 - t0)
         if self.verbose:
             print(f"[L3D] {len(self.result)} 3D lines found! "
