@@ -37,8 +37,12 @@ class ViewMatches:
     src_seg: np.ndarray      # [K] int32
     tgt_view: np.ndarray     # [K] int32 (global view index)
     tgt_seg: np.ndarray      # [K] int32
-    depths: np.ndarray       # [K, 4] float32
-    confidence: np.ndarray   # [K] float32 (already divided by 2)
+    # depths/confidence are populated by the per-view reference engine only;
+    # nothing downstream consumes them (affinity uses identities, the best
+    # hypothesis carries its own depths/score), so the sharded path never
+    # moves them off device.
+    depths: np.ndarray | None = None       # [K, 4] float32
+    confidence: np.ndarray | None = None   # [K] float32 (already / 2)
     overflow: int = 0
 
 
@@ -271,25 +275,20 @@ def run_matching_sharded(scene: Scene, cameras: CameraSet, neighbors: list,
         nb = np.asarray(neighbors[v], np.int64)
         if len(nb) == 0:
             continue
-        # median depth (cudawrapper.cu:1025-1076)
-        has = out["raw_max"][v] > config.confidence_threshold / 2.0
-        if has.any():
-            dall = out["raw_depths"][v][has].reshape(-1)
-            dall = np.sort(dall, kind="stable")
-            median_depths[v] = float(dall[len(dall) // 2])
+        # median depth (computed on device, cudawrapper.cu:1025-1076)
+        if out["median_has"][v]:
+            median_depths[v] = float(out["median_depth"][v])
         cameras.median_depth[v] = median_depths[v]
 
-        ev = out["exp_src"][v] >= 0
-        src = out["exp_src"][v][ev]
-        camslot = out["exp_cam"][v][ev]
+        packed = out["exp_packed"][v]
+        packed = packed[packed >= 0]
+        src, camslot, tgt = sharded.unpack_export(
+            packed, S, nb_ids.shape[1])
         vm = ViewMatches(
             view=v,
-            src_seg=src.astype(np.int32),
+            src_seg=src,
             tgt_view=nb_ids[v][camslot].astype(np.int32),
-            tgt_seg=out["exp_tgt"][v][ev].astype(np.int32),
-            depths=out["exp_depths"][v][ev].astype(np.float32),
-            confidence=(out["exp_conf"][v][ev] /
-                        config.confidence_norm).astype(np.float32),
+            tgt_seg=tgt,
             overflow=int(out["overflow"][v]))
         all_matches.append(vm)
 
@@ -322,7 +321,7 @@ def run_matching_sharded(scene: Scene, cameras: CameraSet, neighbors: list,
                 P1=P1, P2=P2, dir=dirv,
                 d1=d1.astype(np.float32), d2=d2.astype(np.float32)))
         if verbose:
-            print(f"[L3D] view {v}: {int(ev.sum())} verified matches "
+            print(f"[L3D] view {v}: {len(src)} verified matches "
                   f"(sharded), median_depth={median_depths[v]:.4f}")
 
     return all_matches, _concat_best(best_rows), median_depths

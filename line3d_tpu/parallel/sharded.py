@@ -32,6 +32,32 @@ from ..scene import Scene
 from ..match import pairwise, scoring
 
 
+def export_bits(max_segments: int, n_slots: int):
+    """Bit layout of the packed verified-match export word.
+
+    Each exported match is one int32: src_seg | cam_slot | tgt_seg
+    (high→low).  Device→host bytes are the scarce resource on this
+    backend (~20 MB/s through the tunnel), so identities travel packed
+    and everything recomputable travels not at all.
+    """
+    sbits = max((max_segments - 1).bit_length(), 1)
+    cbits = max((n_slots - 1).bit_length(), 1)
+    if 2 * sbits + cbits > 31:
+        raise ValueError(
+            f"packed export needs {2 * sbits + cbits} bits "
+            f"(S={max_segments}, neighbor slots={n_slots}) — exceeds int32")
+    return sbits, cbits
+
+
+def unpack_export(packed: np.ndarray, max_segments: int, n_slots: int):
+    """Host-side unpack: packed [K] int32 (≥0) → (src, cam_slot, tgt)."""
+    sbits, cbits = export_bits(max_segments, n_slots)
+    src = (packed >> (cbits + sbits)).astype(np.int32)
+    cam = ((packed >> sbits) & ((1 << cbits) - 1)).astype(np.int32)
+    tgt = (packed & ((1 << sbits) - 1)).astype(np.int32)
+    return src, cam, tgt
+
+
 def _single_view_step(segments, seg_mask, args, quota, m_total, row_chunk,
                       conf_t, sigma_p, sigma_a, k_export):
     (segs_src, mask_src, RtKinv_src, C_src,
@@ -70,14 +96,27 @@ def _single_view_step(segments, seg_mask, args, quota, m_total, row_chunk,
     best_has = take(keep)
     best_d = jnp.take_along_axis(depths, best_m[:, None, None], axis=1)[:, 0]
 
-    # median-depth inputs (cudawrapper.cu:1025-1076): per-seg raw argmax
+    # median depth ON DEVICE (cudawrapper.cu:1025-1076): per-seg raw argmax,
+    # then the median of the (d1, d2) pairs of segments whose best raw
+    # confidence clears conf_t/2.  Host equivalent: np.sort(dall)[len//2]
+    # with len = 2*nh — i.e. ascending-order element nh.  Invalid slots sort
+    # to +inf past every real (finite, positive) depth.
     raw_keyed = jnp.where(valid, conf, -jnp.inf)
     raw_m = jnp.argmax(raw_keyed, axis=1)
     raw_max = jnp.take_along_axis(raw_keyed, raw_m[:, None], axis=1)[:, 0]
     raw_d = jnp.take_along_axis(depths, raw_m[:, None, None], axis=1)[:, 0, :2]
+    has_raw = raw_max > conf_t * 0.5
+    nh = jnp.sum(has_raw)
+    dsorted = jnp.sort(jnp.where(has_raw[:, None], raw_d, jnp.inf).reshape(-1))
+    median_depth = dsorted[jnp.minimum(nh, dsorted.size - 1)]
 
-    # fixed-capacity export of verified matches for clustering
+    # fixed-capacity export of verified matches for clustering — identities
+    # only, packed one int32 each (depths/confidence are not consumed by
+    # affinity construction, line3D.cc:861-865 fills the correspondence
+    # lists from match identities; recomputables never cross the link)
     S_, M_ = keep.shape
+    n_slots = nb_ids.shape[0]
+    sbits, cbits = export_bits(S_, n_slots)
     flat_keep = keep.reshape(S_ * M_)
     k_export = min(k_export, S_ * M_)
     _, exp_sel = jax.lax.top_k(flat_keep.astype(jnp.int32), k_export)
@@ -85,20 +124,15 @@ def _single_view_step(segments, seg_mask, args, quota, m_total, row_chunk,
     exp_src = (exp_sel // M_).astype(jnp.int32)
     exp_cam = jnp.take_along_axis(cam.reshape(-1), exp_sel, axis=0)
     exp_tgt = jnp.take_along_axis(tgt.reshape(-1), exp_sel, axis=0)
-    exp_conf = jnp.take_along_axis(conf.reshape(-1), exp_sel, axis=0)
-    exp_depths = jnp.take_along_axis(
-        depths.reshape(-1, 4), exp_sel[:, None], axis=0)
+    packed = ((exp_src << (cbits + sbits)) | (exp_cam << sbits) | exp_tgt)
     n_verified = jnp.sum(flat_keep)
 
     return dict(best_conf=best_conf, best_cam=best_cam,
                 best_tgt=best_tgt, best_has=best_has,
-                best_depths=best_d,
-                raw_max=raw_max, raw_depths=raw_d,
-                exp_src=jnp.where(exp_valid, exp_src, -1),
-                exp_cam=jnp.where(exp_valid, exp_cam, -1),
-                exp_tgt=jnp.where(exp_valid, exp_tgt, -1),
-                exp_conf=jnp.where(exp_valid, exp_conf, 0.0),
-                exp_depths=exp_depths,
+                best_depths=best_d[:, :2],
+                median_depth=median_depth,
+                median_has=nh > 0,
+                exp_packed=jnp.where(exp_valid, packed, -1),
                 n_verified=n_verified,
                 overflow=res["overflow"].sum() +
                 jnp.maximum(jnp.sum(flat_keep) - k_export, 0))

@@ -83,11 +83,12 @@ def test_sharded_matches_single_chip(setup):
     # exported verified matches = the single-chip filtered match lists
     for vm in matches:
         v = vm.view
-        exp_valid = out["exp_src"][v] >= 0
-        got = set(zip(out["exp_src"][v][exp_valid].tolist(),
-                      [int(nb_ids[v, c]) for c in
-                       out["exp_cam"][v][exp_valid]],
-                      out["exp_tgt"][v][exp_valid].tolist()))
+        packed = out["exp_packed"][v]
+        src, camslot, tgt = sharded.unpack_export(
+            packed[packed >= 0], S, nb_ids.shape[1])
+        got = set(zip(src.tolist(),
+                      [int(nb_ids[v, c]) for c in camslot],
+                      tgt.tolist()))
         want = set(zip(vm.src_seg.tolist(), vm.tgt_view.tolist(),
                        vm.tgt_seg.tolist()))
         assert got == want
