@@ -256,17 +256,18 @@ def run_matching_sharded(scene: Scene, cameras: CameraSet, neighbors: list,
         scene, cameras, neighbors, config, num_pad_views=Vp)
 
     spatial_ks = cameras.spatial_uncertainty_k(2.0 * config.sigma_p)
-    out = sharded.sharded_match_all_views(
+    k_export = min(S * k_export_per_seg,
+                   S * min(config.max_matches_per_segment, S))
+    buf = sharded.sharded_match_all_views(
         segments, seg_mask, stacks,
         np.float32(config.sigma_p), np.float32(config.sigma_a),
         np.float32(config.confidence_threshold),
         quota=config.match_block_quota,
         m_total=min(config.max_matches_per_segment, S),
         row_chunk=min(128, S),
-        k_export=min(S * k_export_per_seg,
-                     S * min(config.max_matches_per_segment, S)),
-        mesh=mesh)
-    out = {k: np.asarray(v) for k, v in out.items()}
+        k_export=k_export,
+        mesh=mesh, packed=True)
+    out = sharded.unpack_view_outputs(np.asarray(buf), S, k_export)
 
     all_matches = []
     best_rows = []
