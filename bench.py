@@ -27,10 +27,11 @@ import time
 import numpy as np
 
 # persistent XLA compilation cache (same as the CLI): first compile of the
-# production-shape matching program is slow; repeat bench runs are instant
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.expanduser("~/.cache/line3d_tpu_xla"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+# production-shape matching program is slow; repeat bench runs are instant.
+# (Must be jax.config.update, not env vars — sitecustomize imports jax
+# before this script body runs; see utils/xla_cache.py.)
+from line3d_tpu.utils.xla_cache import enable_persistent_cache
+enable_persistent_cache()
 
 NOMINAL_BASELINE_PAIRS_PER_SEC = 1.0e9
 LOOP_N = 16

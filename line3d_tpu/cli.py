@@ -16,9 +16,8 @@ import sys
 
 # persistent XLA compilation cache: first compile of the scene-scale
 # matching program takes minutes; subsequent runs (same shapes) are instant
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.expanduser("~/.cache/line3d_tpu_xla"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+from .utils.xla_cache import enable_persistent_cache
+enable_persistent_cache()
 
 from .config import L3DConfig
 from .pipeline import Line3D
@@ -57,6 +56,11 @@ def _add_common_flags(ap: argparse.ArgumentParser):
     ap.add_argument("--detect_workers", type=int, default=0,
                     help="threads for parallel image load/undistort/detect "
                          "(0 = auto; the reference detects sequentially)")
+    ap.add_argument("--stable_shapes", type=lambda s: s.lower() != "false",
+                    default=True,
+                    help="pad device-program shapes to the configured caps "
+                         "so TPU executables pre-compile during detection "
+                         "and are reusable across scenes (default true)")
 
 
 def _config_from_args(args) -> L3DConfig:
@@ -70,7 +74,8 @@ def _config_from_args(args) -> L3DConfig:
         load_and_store_segments=args.load_and_store_flag,
         use_collinearity=args.collinearity_flag,
         min_baseline=abs(args.min_image_baseline),
-        refine_lines=args.refine)
+        refine_lines=args.refine,
+        stable_shapes=getattr(args, "stable_shapes", False))
 
 
 def _result_stem(args) -> str:
@@ -141,6 +146,9 @@ def main_bundler(argv=None):
         img_shape = img_io.image_size(ds.image_paths[i])
         K = img_io.make_K(ds.focal[i], img_shape[0], img_shape[1])
         prepared.append((i, loader(i), K, ds.R[i], ds.t[i], ds.wp_lists[i]))
+    if cfg.stable_shapes:
+        # pre-compile the TPU programs while detection runs on the host
+        l3d.warmup_async(len(prepared))
     l3d.add_images_parallel(prepared,
                             max_img_width=args.max_image_width,
                             load_and_store_segments=args.load_and_store_flag,
@@ -184,6 +192,9 @@ def main_vsfm(argv=None):
         K = img_io.make_K(ds.focal[i], w, h)
         prepared.append((i, loader(i, path), K, ds.R[i], ds.t[i],
                          ds.wp_lists[i]))
+    if cfg.stable_shapes:
+        # pre-compile the TPU programs while detection runs on the host
+        l3d.warmup_async(len(prepared))
     l3d.add_images_parallel(prepared,
                             max_img_width=args.max_image_width,
                             load_and_store_segments=args.load_and_store_flag,

@@ -82,6 +82,24 @@ class L3DConfig:
     match_block_quota: int = 8
     # Segment-count padding granularity (TPU lane width).
     pad_multiple: int = 128
+    # View-count padding granularity for the batched/sharded engine.
+    # Bucketing the padded view axis makes the matching and collinearity
+    # programs byte-identical for any scene in the same bucket, so compiled
+    # executables (local persistent cache, warmup_async pre-compiles,
+    # service-side caches) are reusable across scenes.  Padded views are
+    # masked inactive (view_active) and cost only execution time
+    # (~0.1 s/view at production shape).
+    view_pad_multiple: int = 8
+    # Fully shape-stable device programs: pad the segment axis to
+    # max_num_segments and the neighbor axis to matching_neighbors
+    # regardless of the scene's actual counts.  Every scene then compiles
+    # the SAME matching/collinearity executables, which (a) lets
+    # Line3D.warmup_async pre-compile them concurrently with host-side
+    # detection before the real segment counts are known, and (b) makes
+    # executable caching effective across runs.  Costs execution time
+    # proportional to the padding (S^2 in the pair stage), so it is off by
+    # default for the library and enabled by the CLI.
+    stable_shapes: bool = False
 
     def __post_init__(self):
         # Reference clamps (line3D.cc:24-28)

@@ -150,21 +150,54 @@ def collinearity_compact_all(segments, masks, coll_sigma_sq, quota=16,
     return jax.lax.map(per_view, (segments, masks))
 
 
-def collinearity_maps_fast(scene_segments, scene_mask, coll_sigma: float,
-                           quota: int = 16, max_partners: int = 64):
-    """Drop-in replacement for collinearity_maps using the device-compacted
-    path (one dispatch for the whole scene)."""
+def collinearity_dispatch(scene_segments, scene_mask, coll_sigma: float,
+                          quota: int = 16, max_partners: int = 64,
+                          num_pad_views: int | None = None):
+    """Launch the device-compacted collinearity program WITHOUT blocking.
+
+    Returns lazy device arrays (tgt, w); pass them to
+    collinearity_finalize to read back.  Splitting dispatch from readback
+    lets the pipeline overlap this program's first-execution compile with
+    the matching program's (both multi-10s through the TPU tunnel).
+
+    `num_pad_views` pads the view axis (extra views fully masked) so the
+    compiled program shape is bucket-stable across scenes.
+    """
+    segs = np.asarray(scene_segments, np.float32)
+    mask = np.asarray(scene_mask, bool)
+    V = segs.shape[0]
+    if num_pad_views is not None and num_pad_views > V:
+        pad = num_pad_views - V
+        segs = np.pad(segs, [(0, pad), (0, 0), (0, 0)])
+        mask = np.pad(mask, [(0, pad), (0, 0)])
     sig2 = np.float32(coll_sigma * coll_sigma)
-    tgt, w = collinearity_compact_all(
-        jnp.asarray(scene_segments), jnp.asarray(scene_mask), sig2,
+    return collinearity_compact_all(
+        jnp.asarray(segs), jnp.asarray(mask), sig2,
         quota=quota, max_partners=max_partners)
+
+
+def collinearity_finalize(tgt, w, num_views: int | None = None):
+    """Read back a collinearity_dispatch result and build the per-view
+    sparse maps ({seg_i: {seg_j: weight}} per view, segments.h:115-117)."""
     tgt = np.asarray(tgt)
     w = np.asarray(w)
+    V = tgt.shape[0] if num_views is None else num_views
     out = []
-    for v in range(tgt.shape[0]):
+    for v in range(V):
         ii, kk = np.nonzero(w[v] > 0.0)
         d: dict = {}
         for i, k in zip(ii.tolist(), kk.tolist()):
             d.setdefault(i, {})[int(tgt[v, i, k])] = float(w[v, i, k])
         out.append(d)
     return out
+
+
+def collinearity_maps_fast(scene_segments, scene_mask, coll_sigma: float,
+                           quota: int = 16, max_partners: int = 64,
+                           num_pad_views: int | None = None):
+    """Drop-in replacement for collinearity_maps using the device-compacted
+    path (one dispatch for the whole scene)."""
+    tgt, w = collinearity_dispatch(scene_segments, scene_mask, coll_sigma,
+                                   quota=quota, max_partners=max_partners,
+                                   num_pad_views=num_pad_views)
+    return collinearity_finalize(tgt, w, num_views=len(scene_segments))

@@ -231,31 +231,35 @@ def run_matching(scene: Scene, cameras: CameraSet, neighbors: list,
     return all_matches, best, median_depths
 
 
-def run_matching_sharded(scene: Scene, cameras: CameraSet, neighbors: list,
-                         config: L3DConfig, verbose: bool = False,
-                         mesh=None, k_export_per_seg: int = 8):
-    """Sharded/batched variant of run_matching: the whole scene's matching
-    runs in ONE device dispatch over a views mesh (parallel/sharded.py),
-    then the host reconstructs the same ViewMatches / BestMatches
-    structures.  Equivalence with the per-view engine is covered by
-    tests/test_sharding.py.
+def dispatch_matching_sharded(scene: Scene, cameras: CameraSet,
+                              neighbors: list, config: L3DConfig,
+                              mesh=None, k_export_per_seg: int = 8):
+    """Launch the whole-scene matching program WITHOUT blocking.
+
+    Returns (buf, ctx) where buf is the lazy packed [Vp, D] device array
+    and ctx carries what finalize_matching_sharded needs to decode it, or
+    (None, None) when there is nothing to match.  Keeping dispatch separate
+    from readback lets the pipeline overlap this program's remote compile /
+    execution with other device programs and host work.
     """
-    import jax
     from ..parallel import mesh as mesh_mod, sharded
 
     V = scene.num_views
     S = scene.max_segments
     n_max = max((len(n) for n in neighbors), default=0)
     if n_max == 0:
-        return [], _empty_best(), np.ones(V)
+        return None, None
 
     if mesh is None:
         mesh = mesh_mod.make_view_mesh()
-    Vp = mesh_mod.pad_views_to_mesh(V, mesh)
+    Vp = mesh_mod.pad_views_to_mesh(V, mesh,
+                                    multiple=config.view_pad_multiple)
+    n_pad = config.matching_neighbors \
+        if config.stable_shapes and config.matching_neighbors > 0 else None
     segments, seg_mask, stacks, nb_ids = sharded.build_stacks(
-        scene, cameras, neighbors, config, num_pad_views=Vp)
+        scene, cameras, neighbors, config, num_pad_views=Vp,
+        num_pad_neighbors=n_pad)
 
-    spatial_ks = cameras.spatial_uncertainty_k(2.0 * config.sigma_p)
     k_export = min(S * k_export_per_seg,
                    S * min(config.max_matches_per_segment, S))
     buf = sharded.sharded_match_all_views(
@@ -267,6 +271,57 @@ def run_matching_sharded(scene: Scene, cameras: CameraSet, neighbors: list,
         row_chunk=min(128, S),
         k_export=k_export,
         mesh=mesh, packed=True)
+    ctx = dict(nb_ids=nb_ids, S=S, k_export=k_export, neighbors=neighbors)
+    return buf, ctx
+
+
+def warmup_matching_sharded(num_views: int, max_segments: int,
+                            config: L3DConfig, mesh=None):
+    """Dispatch the sharded matching program on dummy inputs with the
+    shapes a real `num_views`-view scene will use (requires
+    config.stable_shapes so the segment/neighbor axes are scene-
+    independent).  Returns the lazy output buffer; keep it referenced
+    until the real run has been dispatched.
+
+    The TPU service compiles/loads each new executable on first execution
+    — tens of seconds for the scene-scale program — so the CLI calls this
+    before detection starts and the cost hides behind host work.
+    """
+    from ..core.cameras import CameraSet as CS
+
+    V = max(int(num_views), 4)
+    rng = np.random.RandomState(0)
+    K = np.tile(np.array([[1000.0, 0, 960], [0, 1000.0, 540], [0, 0, 1.0]]),
+                (V, 1, 1))
+    R = np.tile(np.eye(3), (V, 1, 1))
+    t = rng.randn(V, 3)
+    cams = CS(K=K, R=R, t=t, width=np.full(V, 1920), height=np.full(V, 1080),
+              uncertainty_lower_px=config.uncertainty_lower_px,
+              uncertainty_upper_px=config.uncertainty_upper_px)
+    scene = Scene(segments=np.zeros((V, max_segments, 4), np.float32),
+                  seg_mask=np.zeros((V, max_segments), bool),
+                  seg_count=np.zeros(V, np.int32), cameras=cams,
+                  config=config)
+    n_nb = config.matching_neighbors if config.matching_neighbors > 0 \
+        else V - 1
+    n_nb = min(n_nb, V - 1)
+    neighbors = [[(v + 1 + i) % V for i in range(n_nb)] for v in range(V)]
+    buf, _ = dispatch_matching_sharded(scene, cams, neighbors, config,
+                                       mesh=mesh)
+    return buf
+
+
+def finalize_matching_sharded(buf, ctx, scene: Scene, cameras: CameraSet,
+                              config: L3DConfig, verbose: bool = False):
+    """Read back a dispatch_matching_sharded buffer and rebuild the
+    ViewMatches / BestMatches structures (blocks on the device)."""
+    from ..parallel import sharded
+
+    V = scene.num_views
+    if buf is None:
+        return [], _empty_best(), np.ones(V)
+    S, k_export = ctx["S"], ctx["k_export"]
+    neighbors, nb_ids = ctx["neighbors"], ctx["nb_ids"]
     out = sharded.unpack_view_outputs(np.asarray(buf), S, k_export)
 
     all_matches = []
@@ -326,6 +381,22 @@ def run_matching_sharded(scene: Scene, cameras: CameraSet, neighbors: list,
                   f"(sharded), median_depth={median_depths[v]:.4f}")
 
     return all_matches, _concat_best(best_rows), median_depths
+
+
+def run_matching_sharded(scene: Scene, cameras: CameraSet, neighbors: list,
+                         config: L3DConfig, verbose: bool = False,
+                         mesh=None, k_export_per_seg: int = 8):
+    """Sharded/batched variant of run_matching: the whole scene's matching
+    runs in ONE device dispatch over a views mesh (parallel/sharded.py),
+    then the host reconstructs the same ViewMatches / BestMatches
+    structures.  Equivalence with the per-view engine is covered by
+    tests/test_sharding.py.
+    """
+    buf, ctx = dispatch_matching_sharded(scene, cameras, neighbors, config,
+                                         mesh=mesh,
+                                         k_export_per_seg=k_export_per_seg)
+    return finalize_matching_sharded(buf, ctx, scene, cameras, config,
+                                     verbose=verbose)
 
 
 def _empty_best() -> BestMatches:

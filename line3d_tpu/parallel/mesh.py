@@ -8,6 +8,8 @@ shardings; nothing here talks to hardware directly.
 """
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -19,9 +21,15 @@ def make_view_mesh(devices=None, axis: str = "views") -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
-def pad_views_to_mesh(num_views: int, mesh: Mesh, axis: str = "views") -> int:
-    """Views must be divisible by the mesh size for even sharding."""
-    n = mesh.shape[axis]
+def pad_views_to_mesh(num_views: int, mesh: Mesh, axis: str = "views",
+                      multiple: int = 1) -> int:
+    """Views must be divisible by the mesh size for even sharding.
+
+    `multiple` additionally buckets the padded count (see
+    L3DConfig.view_pad_multiple) so compiled program shapes are stable
+    across scenes of similar size.
+    """
+    n = math.lcm(mesh.shape[axis], max(int(multiple), 1))
     return ((num_views + n - 1) // n) * n
 
 

@@ -225,18 +225,20 @@ def sharded_match_all_views(segments, seg_mask, stacks,
 
 
 def build_stacks(scene: Scene, cameras: CameraSet, neighbors: list,
-                 config: L3DConfig, num_pad_views: int | None = None):
+                 config: L3DConfig, num_pad_views: int | None = None,
+                 num_pad_neighbors: int | None = None):
     """Host-side assembly of the per-view metadata stacks.
 
     Returns (segments [V?,S,4] — note padded to Vp like the stacks so the
     view's own segments can ride the sharded axis, seg_mask, stacks dict,
-    nb_ids [Vp, N]).
+    nb_ids [Vp, N]).  `num_pad_neighbors` pads the neighbor axis beyond the
+    scene's actual maximum (shape stability, L3DConfig.stable_shapes).
     """
     V = scene.num_views
     Vp = num_pad_views or V
     S = scene.max_segments
     n_max = max((len(n) for n in neighbors), default=1)
-    n_max = max(n_max, 1)
+    n_max = max(n_max, 1, num_pad_neighbors or 0)
 
     segments = np.zeros((Vp, S, 4), np.float32)
     seg_mask = np.zeros((Vp, S), bool)

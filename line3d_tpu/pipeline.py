@@ -19,7 +19,8 @@ from .core.conditioning import compute_conditioning, SceneTransform
 from .scene import Scene, view_similarities_from_worldpoints, \
     find_visual_neighbors
 from .match import engine
-from .match.collinearity import collinearity_maps_fast
+from .match.collinearity import collinearity_maps_fast, \
+    collinearity_dispatch, collinearity_finalize
 from .cluster import affinity, fh, diffusion as diffusion_mod
 from .fit import lines as fit_lines
 from .io import writers
@@ -63,6 +64,7 @@ class Line3D:
         self.result: list = []
         self.neighbors = None
         self.stats = {}
+        self._warmup_refs = []
 
     def num_cameras(self) -> int:
         return len(self._images)
@@ -194,6 +196,39 @@ class Line3D:
         self._wp_lists.append(list(worldpoint_ids) if worldpoint_ids is not None
                               else [])
 
+    def warmup_async(self, num_views: int, max_segments: int | None = None):
+        """Pre-compile the device programs for a `num_views`-view scene.
+
+        Dispatches the matching and collinearity executables on dummy
+        inputs WITHOUT blocking, so their first-execution compile/load on
+        the TPU service (tens of seconds for the scene-scale programs)
+        overlaps with host-side work — the CLI calls this right after
+        parsing the dataset, before image loading/detection.
+
+        Requires config.stable_shapes (or an explicit `max_segments`) so
+        the warmed shapes match the eventual real scene.  No-op on repeat
+        calls with the same shapes (jit cache).
+        """
+        cfg = self.config
+        from .scene import pad_to
+        if max_segments is None:
+            if not cfg.stable_shapes:
+                raise ValueError(
+                    "warmup_async needs config.stable_shapes=True (or an "
+                    "explicit max_segments) to know the padded shapes")
+            max_segments = cfg.max_num_segments
+        S = pad_to(max_segments, cfg.pad_multiple)
+        from .parallel import mesh as mesh_mod
+        Vp = mesh_mod.pad_views_to_mesh(
+            max(num_views, 4), mesh_mod.make_view_mesh(),
+            multiple=cfg.view_pad_multiple)
+        refs = [engine.warmup_matching_sharded(num_views, S, cfg)]
+        if cfg.use_collinearity:
+            refs.append(collinearity_dispatch(
+                np.zeros((1, S, 4), np.float32), np.zeros((1, S), bool),
+                cfg.collinearity_sigma, num_pad_views=Vp))
+        self._warmup_refs = refs
+
     def set_view_similarity(self, image_id: int, sims: dict):
         """Fixed view similarity instead of worldpoints (addImage_fixed_sim /
         setViewSimilarity, line3D.cc:220-342, 1938-1946)."""
@@ -243,33 +278,53 @@ class Line3D:
         self._build_scene()
         scene, cams = self.scene, self.cameras
 
-        # collinearity (L3DSegments ctor, segments.h:73-101)
-        if cfg.use_collinearity:
-            scene.collin = collinearity_maps_fast(
-                scene.segments, scene.seg_mask, cfg.collinearity_sigma)
-        t_collin = time.time() - t0
-
-        # stage 1: visual neighbors (line3D.cc:361)
+        # stage 1: visual neighbors (line3D.cc:361) — host, cheap
+        tg0 = time.time()
         sim = self._view_similarities()
         self.neighbors = find_visual_neighbors(
             sim, cams.baselines(), cfg.min_baseline, cfg.matching_neighbors,
             cfg.eps)
 
-        # stage 2: scene conditioning (line3D.cc:364)
+        # stage 2: scene conditioning (line3D.cc:364) — host, cheap
         self.transform = compute_conditioning(cams.C)
         cams.transform(self.transform.Qinv, self.transform.scale)
+        t_graph = time.time() - tg0
 
         # stage 3+4: matching + verification + greedy selection
-        # (line3D.cc:367-370).  The sharded engine batches the whole scene
-        # into one device dispatch (and shards it when a mesh is present);
-        # the per-view engine is kept for exactness-without-caps runs.
-        t1 = time.time()
+        # (line3D.cc:367-370), overlapped with collinearity (L3DSegments
+        # ctor, segments.h:73-101).  Both device programs are dispatched
+        # before either is read back: JAX dispatch is async and the TPU
+        # service compiles/loads each NEW executable on first execution
+        # (multi-10s through the tunnel), so issuing both up front overlaps
+        # those costs instead of paying them serially.  The sharded engine
+        # batches the whole scene into one dispatch (and shards it when a
+        # mesh is present); the per-view engine is kept for
+        # exactness-without-caps runs.
         if self.use_sharded_engine:
-            matches, best, med = engine.run_matching_sharded(
-                scene, cams, self.neighbors, cfg, verbose=self.verbose)
+            from .parallel import mesh as mesh_mod
+            buf, mctx = engine.dispatch_matching_sharded(
+                scene, cams, self.neighbors, cfg)
+            if cfg.use_collinearity:
+                Vp = mesh_mod.pad_views_to_mesh(
+                    scene.num_views, mesh_mod.make_view_mesh(),
+                    multiple=cfg.view_pad_multiple)
+                ctgt, cw = collinearity_dispatch(
+                    scene.segments, scene.seg_mask, cfg.collinearity_sigma,
+                    num_pad_views=Vp)
+                scene.collin = collinearity_finalize(
+                    ctgt, cw, num_views=scene.num_views)
+            t1 = time.time()
+            matches, best, med = engine.finalize_matching_sharded(
+                buf, mctx, scene, cams, cfg, verbose=self.verbose)
+            self._warmup_refs = []   # warmed executables now in jit cache
         else:
+            if cfg.use_collinearity:
+                scene.collin = collinearity_maps_fast(
+                    scene.segments, scene.seg_mask, cfg.collinearity_sigma)
+            t1 = time.time()
             matches, best, med = engine.run_matching(
                 scene, cams, self.neighbors, cfg, verbose=self.verbose)
+        t_collin = t1 - t0
         t2 = time.time()
 
         # stage 5: clustering (line3D.cc:373)
@@ -296,7 +351,7 @@ class Line3D:
             num_edges=int(len(graph.edges_w)),
             num_lines=len(self.result),
             t_detect=self.stats.get("t_detect", 0.0),
-            t_setup=t_collin, t_graph=t1 - t0 - t_collin,
+            t_setup=t_collin - t_graph, t_graph=t_graph,
             t_match=t2 - t1, t_cluster=t3 - t2, t_total=t3 - t0)
         if self.verbose:
             print(f"[L3D] {len(self.result)} 3D lines found! "

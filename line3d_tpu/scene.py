@@ -57,7 +57,10 @@ class Scene:
         """Build a padded Scene from per-view [S_v, 4] segment arrays."""
         V = len(segment_lists)
         counts = np.array([len(s) for s in segment_lists], np.int32)
-        S = pad_to(int(counts.max()) if V else 1, config.pad_multiple)
+        S = int(counts.max()) if V else 1
+        if config.stable_shapes:
+            S = max(S, config.max_num_segments)
+        S = pad_to(S, config.pad_multiple)
         segs = np.zeros((V, S, 4), np.float32)
         mask = np.zeros((V, S), bool)
         for v, s in enumerate(segment_lists):

@@ -7,13 +7,11 @@ vars alone don't steer tests to CPU — undo it with config updates before any
 backend initializes (conftest import runs before test modules import jax
 arrays into devices).
 """
-import os
-
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      "/tmp/jax_cache_line3d_tests")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-
-import jax  # noqa: E402
+import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+# env vars don't reach jax's config (sitecustomize imported jax already) —
+# use config updates, like the CLI/bench (utils/xla_cache.py)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_line3d_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -67,7 +67,8 @@ def test_cli_bundler_end_to_end(tmp_path):
     os.makedirs(root)
     syn = render_bundler_dataset(root)
 
-    cli.main(["bundler", "-i", root, "-w", "640", "-n", "6"])
+    cli.main(["bundler", "-i", root, "-w", "640", "-n", "6",
+              "--stable_shapes", "false"])
 
     out_dir = os.path.join(root, "Line3D")
     txts = glob.glob(os.path.join(out_dir, "line3D_result_*.txt"))
@@ -96,6 +97,7 @@ def test_cli_bundler_end_to_end(tmp_path):
 
     # re-run must reuse caches and succeed (determinism-by-caching,
     # SURVEY.md §4)
-    cli.main(["bundler", "-i", root, "-w", "640", "-n", "6"])
+    cli.main(["bundler", "-i", root, "-w", "640", "-n", "6",
+              "--stable_shapes", "false"])
     parsed2 = writers.load_txt(txts[0])
     assert len(parsed2) == len(parsed)

@@ -132,3 +132,40 @@ def test_thousand_views_scale():
     if os.environ.get("RUN_SCALE_1000") != "1":
         pytest.skip("set RUN_SCALE_1000=1 to run the 1000-view scale test")
     _run_scale(1000)
+
+
+def _run_scene(syn, cfg, warmup=False):
+    l3d = Line3D(config=cfg)
+    if warmup:
+        l3d.warmup_async(syn.scene.num_views)
+    for v in range(syn.scene.num_views):
+        l3d.add_view_segments(
+            v, syn.scene.segments[v][syn.scene.seg_mask[v]],
+            syn.cameras.K[v].copy(), syn.cameras.R[v].copy(),
+            syn.cameras.t[v].copy(), worldpoint_ids=syn.wp_lists[v],
+            width=640, height=480)
+    res = l3d.compute_3d_model(perform_diffusion=False)
+    return l3d, res
+
+
+def test_stable_shapes_equivalence():
+    """stable_shapes pads the segment/neighbor axes to the configured caps;
+    results must be identical to the tight-shape run, and warmup_async must
+    pre-compile the very executables the real run then uses."""
+    syn = make_scene(num_views=6)
+    # max_matches_per_segment is pinned at or below either run's S: the
+    # capacity min(max_matches_per_segment, S) otherwise DIFFERS between
+    # tight and padded shapes (the tight run truncates more, a legitimate
+    # capacity effect, not a padding bug)
+    base_cfg = L3DConfig(max_num_segments=40, pad_multiple=16,
+                         matching_neighbors=4, max_matches_per_segment=16)
+    stable_cfg = L3DConfig(max_num_segments=40, pad_multiple=16,
+                           matching_neighbors=4, max_matches_per_segment=16,
+                           stable_shapes=True)
+    _, res_a = _run_scene(syn, base_cfg)
+    l3d_b, res_b = _run_scene(syn, stable_cfg, warmup=True)
+    assert l3d_b.scene.max_segments == 48          # pad_to(40, 16)
+    assert len(res_a) == len(res_b)
+    for a, b in zip(sorted(res_a, key=lambda r: tuple(r.segments3d.ravel())),
+                    sorted(res_b, key=lambda r: tuple(r.segments3d.ravel()))):
+        np.testing.assert_allclose(a.segments3d, b.segments3d, atol=1e-5)
