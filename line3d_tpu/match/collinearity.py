@@ -114,19 +114,29 @@ def _pair_aff(si, sj, mask_i, mask_j, not_self, coll_sigma_sq):
     return jnp.where(keep, aff, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("quota", "max_partners"))
-def collinearity_compact_all(segments, masks, coll_sigma_sq, quota=16,
-                             max_partners=64):
-    """All views' collinearity maps, compacted ON DEVICE.
+def _pairs_cap(S: int, K: int, quota: int) -> int:
+    """Static per-view cap on exported collinear pairs (shape-derived)."""
+    return min(S * K, max(8192, 8 * S))
+
+
+@functools.partial(jax.jit, static_argnames=("quota",))
+def collinearity_compact_all(segments, masks, coll_sigma_sq, quota=16):
+    """All views' collinearity maps, compacted ON DEVICE to flat pair lists.
 
     Transferring the dense [S, S] maps to host costs ~37 MB/view over the
-    device link (~14 s/scene at production shape through the TPU tunnel);
-    instead the [S, S] keep-plane is compacted per 128-partner block
+    device link (~14 s/scene at production shape through the TPU tunnel),
+    and even per-row [S, 64] partner tables cost ~25 MB/scene (~1.7 s at
+    the tunnel's ~15 MB/s device->host bandwidth).  Instead: the [S, S]
+    keep-plane is compacted per 128-partner block
     (pairwise.compact_rows_blockq), the affinity recomputed at the kept
-    pairs, and each row merged to its `max_partners` lowest-index partners,
-    so the transfer is ~0.8 MB/view.
+    pairs, and each view's surviving (i, j) pairs packed as i*S+j keys and
+    merged by one batched int32 sort (payload = f32 weight; the sort axis
+    is ~1M long, where a single payload operand is cheap) into a flat
+    [C] list — ~0.2 MB/view exported at production shape.
 
-    Returns (tgt [V, S, P] int32 partner ids (-1 pads), w [V, S, P] f32).
+    Returns (pairs [V, C] int32 packed i*S+j (-1 pads),
+             w [V, C] f32 (0 pads),
+             count [V] int32 true number of pairs (> C means overflow)).
     """
     from .pairwise import compact_rows_blockq
 
@@ -140,22 +150,31 @@ def collinearity_compact_all(segments, masks, coll_sigma_sq, quota=16,
         w = _pair_aff(segs, sj, mask[:, None],
                       mask[jnp.maximum(tgt, 0)] & kept,
                       tgt != iota, coll_sigma_sq)
-        # per-row merge to a tight global cap (ascending partner id)
-        P = min(max_partners, tgt.shape[1])
-        pos = jax.lax.broadcasted_iota(jnp.int32, tgt.shape, 1)
-        key = jnp.where(w > 0.0, tgt, S + pos)
-        skey, sw = jax.lax.sort((key, w), dimension=1, num_keys=1)
-        skey, sw = skey[:, :P], sw[:, :P]
-        return jnp.where(skey < S, skey, -1), jnp.where(skey < S, sw, 0.0)
-    return jax.lax.map(per_view, (segments, masks))
+        return tgt, w
+
+    # [V, S, K] intermediates stay on device; the merge sort runs batched
+    # over the flattened pair axis OUTSIDE the map (sorts inside scan/map
+    # bodies are ~2x slower on TPU than one batched 2-D sort).
+    tgt, w = jax.lax.map(per_view, (segments, masks))
+    V, S, K = w.shape
+    C = _pairs_cap(S, K, quota)
+    row = jax.lax.broadcasted_iota(jnp.int32, (V, S, K), 1)
+    key = jnp.where(w > 0.0, row * S + tgt, jnp.int32(S) * S)
+    skey, sw = jax.lax.sort(
+        (key.reshape(V, S * K), w.reshape(V, S * K)), dimension=1,
+        num_keys=1)
+    skey, sw = skey[:, :C], sw[:, :C]
+    valid = skey < S * S
+    count = jnp.sum((w > 0.0).reshape(V, -1), axis=1).astype(jnp.int32)
+    return (jnp.where(valid, skey, -1), jnp.where(valid, sw, 0.0), count)
 
 
 def collinearity_dispatch(scene_segments, scene_mask, coll_sigma: float,
-                          quota: int = 16, max_partners: int = 64,
+                          quota: int = 16,
                           num_pad_views: int | None = None):
     """Launch the device-compacted collinearity program WITHOUT blocking.
 
-    Returns lazy device arrays (tgt, w); pass them to
+    Returns lazy device arrays (pairs, w, count); pass them to
     collinearity_finalize to read back.  Splitting dispatch from readback
     lets the pipeline overlap this program's first-execution compile with
     the matching program's (both multi-10s through the TPU tunnel).
@@ -172,32 +191,41 @@ def collinearity_dispatch(scene_segments, scene_mask, coll_sigma: float,
         mask = np.pad(mask, [(0, pad), (0, 0)])
     sig2 = np.float32(coll_sigma * coll_sigma)
     return collinearity_compact_all(
-        jnp.asarray(segs), jnp.asarray(mask), sig2,
-        quota=quota, max_partners=max_partners)
+        jnp.asarray(segs), jnp.asarray(mask), sig2, quota=quota)
 
 
-def collinearity_finalize(tgt, w, num_views: int | None = None):
+def collinearity_finalize(pairs, w, count, max_segments: int,
+                          num_views: int | None = None, verbose=False):
     """Read back a collinearity_dispatch result and build the per-view
     sparse maps ({seg_i: {seg_j: weight}} per view, segments.h:115-117)."""
-    tgt = np.asarray(tgt)
+    pairs = np.asarray(pairs)
     w = np.asarray(w)
-    V = tgt.shape[0] if num_views is None else num_views
+    count = np.asarray(count)
+    S = max_segments
+    V = pairs.shape[0] if num_views is None else num_views
+    dropped = int(np.maximum(count[:V] - pairs.shape[1], 0).sum())
+    if dropped and verbose:
+        print(f"[L3D] WARNING: collinearity pair cap dropped {dropped} "
+              f"pairs (raise quota / cap)")
     out = []
     for v in range(V):
-        ii, kk = np.nonzero(w[v] > 0.0)
         d: dict = {}
-        for i, k in zip(ii.tolist(), kk.tolist()):
-            d.setdefault(i, {})[int(tgt[v, i, k])] = float(w[v, i, k])
+        pv = pairs[v]
+        sel = pv >= 0
+        for p, wij in zip(pv[sel].tolist(), w[v][sel].tolist()):
+            d.setdefault(p // S, {})[p % S] = wij
         out.append(d)
     return out
 
 
 def collinearity_maps_fast(scene_segments, scene_mask, coll_sigma: float,
-                           quota: int = 16, max_partners: int = 64,
+                           quota: int = 16,
                            num_pad_views: int | None = None):
     """Drop-in replacement for collinearity_maps using the device-compacted
     path (one dispatch for the whole scene)."""
-    tgt, w = collinearity_dispatch(scene_segments, scene_mask, coll_sigma,
-                                   quota=quota, max_partners=max_partners,
-                                   num_pad_views=num_pad_views)
-    return collinearity_finalize(tgt, w, num_views=len(scene_segments))
+    pairs, w, count = collinearity_dispatch(
+        scene_segments, scene_mask, coll_sigma, quota=quota,
+        num_pad_views=num_pad_views)
+    return collinearity_finalize(pairs, w, count,
+                                 max_segments=scene_segments.shape[1],
+                                 num_views=len(scene_segments))

@@ -308,11 +308,12 @@ class Line3D:
                 Vp = mesh_mod.pad_views_to_mesh(
                     scene.num_views, mesh_mod.make_view_mesh(),
                     multiple=cfg.view_pad_multiple)
-                ctgt, cw = collinearity_dispatch(
+                cpairs, cw, ccnt = collinearity_dispatch(
                     scene.segments, scene.seg_mask, cfg.collinearity_sigma,
                     num_pad_views=Vp)
                 scene.collin = collinearity_finalize(
-                    ctgt, cw, num_views=scene.num_views)
+                    cpairs, cw, ccnt, max_segments=scene.max_segments,
+                    num_views=scene.num_views, verbose=self.verbose)
             t1 = time.time()
             matches, best, med = engine.finalize_matching_sharded(
                 buf, mctx, scene, cams, cfg, verbose=self.verbose)
