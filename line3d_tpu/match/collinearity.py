@@ -120,7 +120,7 @@ def _pairs_cap(S: int, K: int, quota: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("quota",))
-def collinearity_compact_all(segments, masks, coll_sigma_sq, quota=16):
+def collinearity_compact_all(segments, masks, coll_sigma_sq, quota=8):
     """All views' collinearity maps, compacted ON DEVICE to flat pair lists.
 
     Transferring the dense [S, S] maps to host costs ~37 MB/view over the
@@ -136,26 +136,30 @@ def collinearity_compact_all(segments, masks, coll_sigma_sq, quota=16):
 
     Returns (pairs [V, C] int32 packed i*S+j (-1 pads),
              w [V, C] f32 (0 pads),
-             count [V] int32 true number of pairs (> C means overflow)).
+             count [V] int32 true pre-quota pair count (> number exported
+             means the block quota or the cap dropped pairs)).
     """
-    from .pairwise import compact_rows_blockq
+    from .pairwise import compact_rows_blockq, use_pallas
 
     def per_view(args):
         segs, mask = args
-        S = segs.shape[0]
-        m = collinearity_matrix(segs, mask, coll_sigma_sq)
-        tgt, kept, _ = compact_rows_blockq(m > 0.0, quota)
+        if use_pallas():
+            from .collinearity_pallas import collinearity_keep_pallas
+            keep = collinearity_keep_pallas(segs, mask, coll_sigma_sq)
+        else:
+            keep = collinearity_matrix(segs, mask, coll_sigma_sq) > 0.0
+        tgt, kept, n_valid = compact_rows_blockq(keep, quota)
         sj = segs[jnp.maximum(tgt, 0)]                  # [S, K, 4]
         iota = jax.lax.broadcasted_iota(jnp.int32, tgt.shape, 0)
         w = _pair_aff(segs, sj, mask[:, None],
                       mask[jnp.maximum(tgt, 0)] & kept,
                       tgt != iota, coll_sigma_sq)
-        return tgt, w
+        return tgt, w, jnp.sum(n_valid)
 
     # [V, S, K] intermediates stay on device; the merge sort runs batched
     # over the flattened pair axis OUTSIDE the map (sorts inside scan/map
     # bodies are ~2x slower on TPU than one batched 2-D sort).
-    tgt, w = jax.lax.map(per_view, (segments, masks))
+    tgt, w, count = jax.lax.map(per_view, (segments, masks))
     V, S, K = w.shape
     C = _pairs_cap(S, K, quota)
     row = jax.lax.broadcasted_iota(jnp.int32, (V, S, K), 1)
@@ -165,12 +169,11 @@ def collinearity_compact_all(segments, masks, coll_sigma_sq, quota=16):
         num_keys=1)
     skey, sw = skey[:, :C], sw[:, :C]
     valid = skey < S * S
-    count = jnp.sum((w > 0.0).reshape(V, -1), axis=1).astype(jnp.int32)
     return (jnp.where(valid, skey, -1), jnp.where(valid, sw, 0.0), count)
 
 
 def collinearity_dispatch(scene_segments, scene_mask, coll_sigma: float,
-                          quota: int = 16,
+                          quota: int = 8,
                           num_pad_views: int | None = None):
     """Launch the device-compacted collinearity program WITHOUT blocking.
 
@@ -203,10 +206,11 @@ def collinearity_finalize(pairs, w, count, max_segments: int,
     count = np.asarray(count)
     S = max_segments
     V = pairs.shape[0] if num_views is None else num_views
-    dropped = int(np.maximum(count[:V] - pairs.shape[1], 0).sum())
+    exported = (pairs[:V] >= 0).sum(axis=1)
+    dropped = int(np.maximum(count[:V] - exported, 0).sum())
     if dropped and verbose:
-        print(f"[L3D] WARNING: collinearity pair cap dropped {dropped} "
-              f"pairs (raise quota / cap)")
+        print(f"[L3D] WARNING: collinearity quota/cap dropped up to "
+              f"{dropped} pairs (raise quota / cap)")
     out = []
     for v in range(V):
         d: dict = {}
@@ -219,7 +223,7 @@ def collinearity_finalize(pairs, w, count, max_segments: int,
 
 
 def collinearity_maps_fast(scene_segments, scene_mask, coll_sigma: float,
-                           quota: int = 16,
+                           quota: int = 8,
                            num_pad_views: int | None = None):
     """Drop-in replacement for collinearity_maps using the device-compacted
     path (one dispatch for the whole scene)."""

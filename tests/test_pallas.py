@@ -49,6 +49,46 @@ def test_pallas_valid_kernel_matches_dense_interpret():
     np.testing.assert_array_equal(np.asarray(v_full), np.asarray(v_only))
 
 
+def test_pallas_collinearity_keep_superset_interpret():
+    """The pallas keep-plane is a (tight) superset of the XLA dense plane;
+    regated through _pair_aff the extra candidates vanish."""
+    from line3d_tpu.match import collinearity as col
+    from line3d_tpu.match.collinearity_pallas import collinearity_keep_pallas
+    rng = np.random.default_rng(11)
+    S = 128
+    segs = np.zeros((S, 4), np.float32)
+    mask = np.zeros(S, bool)
+    k = 0
+    for fam in range(10):
+        x0, y0 = rng.uniform(0, 200, 2)
+        th = rng.uniform(0, np.pi)
+        c, s_ = np.cos(th), np.sin(th)
+        t = 0.0
+        for piece in range(4):
+            L = rng.uniform(15, 40)
+            segs[k] = [x0 + t*c + rng.normal(0, 0.3),
+                       y0 + t*s_ + rng.normal(0, 0.3),
+                       x0 + (t+L)*c, y0 + (t+L)*s_]
+            mask[k] = True
+            k += 1
+            t += L + rng.uniform(3, 10)
+    for _ in range(40):
+        segs[k] = rng.uniform(0, 300, 4)
+        mask[k] = True
+        k += 1
+    sig2 = np.float32(4.0)
+    dense = np.asarray(col.collinearity_matrix(
+        jnp.asarray(segs), jnp.asarray(mask), sig2)) > 0.0
+    keep = np.asarray(collinearity_keep_pallas(
+        jnp.asarray(segs), jnp.asarray(mask), jnp.float32(sig2),
+        block_s=64, block_t=64, interpret=True))
+    assert dense.sum() > 20
+    # superset: everything the XLA plane keeps survives the pallas gate
+    assert (dense & ~keep).sum() == 0
+    # tight: margin extras are at most borderline-rounding cases
+    assert (keep & ~dense).sum() <= max(2, int(0.001 * dense.sum()))
+
+
 def test_pallas_scoring_matches_xla_interpret():
     """scoring_pallas (interpret mode) reproduces scoring.score_matches."""
     from line3d_tpu.match import scoring, scoring_pallas
