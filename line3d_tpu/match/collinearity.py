@@ -143,18 +143,29 @@ def collinearity_compact_all(segments, masks, coll_sigma_sq, quota=8):
 
     def per_view(args):
         segs, mask = args
-        if use_pallas():
-            from .collinearity_pallas import collinearity_keep_pallas
-            keep = collinearity_keep_pallas(segs, mask, coll_sigma_sq)
-        else:
-            keep = collinearity_matrix(segs, mask, coll_sigma_sq) > 0.0
-        tgt, kept, n_valid = compact_rows_blockq(keep, quota)
-        sj = segs[jnp.maximum(tgt, 0)]                  # [S, K, 4]
-        iota = jax.lax.broadcasted_iota(jnp.int32, tgt.shape, 0)
-        w = _pair_aff(segs, sj, mask[:, None],
-                      mask[jnp.maximum(tgt, 0)] & kept,
-                      tgt != iota, coll_sigma_sq)
-        return tgt, w, jnp.sum(n_valid)
+
+        def live(_):
+            if use_pallas():
+                from .collinearity_pallas import collinearity_keep_pallas
+                keep = collinearity_keep_pallas(segs, mask, coll_sigma_sq)
+            else:
+                keep = collinearity_matrix(segs, mask, coll_sigma_sq) > 0.0
+            tgt, kept, n_valid = compact_rows_blockq(keep, quota)
+            sj = segs[jnp.maximum(tgt, 0)]              # [S, K, 4]
+            iota = jax.lax.broadcasted_iota(jnp.int32, tgt.shape, 0)
+            w = _pair_aff(segs, sj, mask[:, None],
+                          mask[jnp.maximum(tgt, 0)] & kept,
+                          tgt != iota, coll_sigma_sq)
+            return tgt, w, jnp.sum(n_valid)
+
+        # fully-masked views (view-axis padding slots) skip the whole
+        # plane; w = 0 rows vanish in the merge sort below
+        def dead(_):
+            shapes = jax.eval_shape(live, 0)
+            return jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+        return jax.lax.cond(jnp.any(mask), live, dead, 0)
 
     # [V, S, K] intermediates stay on device; the merge sort runs batched
     # over the flattened pair axis OUTSIDE the map (sorts inside scan/map

@@ -209,12 +209,27 @@ def sharded_match_all_views(segments, seg_mask, stacks,
                    args["nb_ids"], args["F_nb"], args["RtKinv_nb"],
                    args["C_nb"], args["P_nb"], args["nb_mask"],
                    args["spatial_k"], args["view_active"])
-        o = _single_view_step(segments, seg_mask, ordered,
-                              quota, m_total, row_chunk,
-                              conf_t, sigma_p, sigma_a, k_export)
-        if packed:
-            return _pack_view_outputs(o, k_export)
-        return o
+
+        def live(_):
+            o = _single_view_step(segments, seg_mask, ordered,
+                                  quota, m_total, row_chunk,
+                                  conf_t, sigma_p, sigma_a, k_export)
+            if packed:
+                return _pack_view_outputs(o, k_export)
+            return o
+
+        # inactive views (padding slots and views without visual neighbors)
+        # are skipped entirely — their outputs are never read by
+        # engine.finalize_matching_sharded, so the dead branch returns
+        # zeros.  Keeps the executable shape-stable (view_active is a
+        # runtime array) while saving the full per-view step for padded
+        # slots (view_pad_multiple rounds 12 real views up to 16).
+        def dead(_):
+            shapes = jax.eval_shape(live, 0)
+            return jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+        return jax.lax.cond(args["view_active"], live, dead, 0)
 
     out = jax.lax.map(per_view, sharded)
     shard = lambda v: jax.lax.with_sharding_constraint(
