@@ -52,20 +52,72 @@ def gaussian_kernel1d(sigma: float) -> np.ndarray:
     return (k / k.sum()).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=32)
+def _resize_taps(in_size: int, out_size: int):
+    """Sparse taps reproducing jax.image.resize(method="linear",
+    antialias=True) along one axis (triangle kernel scaled by 1/scale,
+    normalized, out-of-range samples zeroed — jax/_src/image/scale.py).
+    Returns (idx [out, T] int32, w [out, T] f32); equality with
+    jax.image.resize is asserted in tests/test_detect.py."""
+    scale = out_size / in_size
+    inv_scale = 1.0 / scale
+    kscale = max(inv_scale, 1.0)
+    sample_f = (np.arange(out_size) + 0.5) * inv_scale - 0.5
+    x = np.abs(sample_f[None, :] - np.arange(in_size)[:, None]) / kscale
+    wmat = np.maximum(0.0, 1.0 - x)                     # [in, out]
+    tot = wmat.sum(axis=0, keepdims=True)
+    wmat = np.where(np.abs(tot) > 1e-4,
+                    wmat / np.where(tot != 0, tot, 1), 0)
+    ok = (sample_f >= -0.5) & (sample_f <= in_size - 0.5)
+    wmat = np.where(ok[None, :], wmat, 0)
+    T = max(1, int((wmat > 0).sum(axis=0).max()))
+    idx = np.zeros((out_size, T), np.int32)
+    w = np.zeros((out_size, T), np.float32)
+    for o in range(out_size):
+        nz = np.nonzero(wmat[:, o])[0]
+        idx[o, :len(nz)] = nz
+        w[o, :len(nz)] = wmat[nz, o]
+    return idx, w
+
+
+def _resize_linear(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """jax.image.resize(..., "linear") as per-axis sparse gather-fma —
+    ~6x faster than the dense scale_and_translate path on the CPU
+    detection device (detection is host-side, detector.py)."""
+    iy, wy = _resize_taps(x.shape[0], out_h)
+    ix, wx = _resize_taps(x.shape[1], out_w)
+    out = None
+    for k in range(iy.shape[1]):
+        t = jnp.asarray(wy[:, k])[:, None] * x[jnp.asarray(iy[:, k]), :]
+        out = t if out is None else out + t
+    x = out
+    out = None
+    for k in range(ix.shape[1]):
+        t = jnp.asarray(wx[:, k])[None, :] * x[:, jnp.asarray(ix[:, k])]
+        out = t if out is None else out + t
+    return out
+
+
 def _blur_and_scale(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """Gaussian blur (sigma = SIGMA_SCALE/SCALE) + bilinear resize to
     (out_h, out_w)."""
     sigma = SIGMA_SCALE / SCALE if SCALE < 1 else SIGMA_SCALE
-    k = jnp.asarray(gaussian_kernel1d(sigma))
+    k = gaussian_kernel1d(sigma)
     r = (len(k) - 1) // 2
     # separable blur with edge replication (cv2 BORDER_REFLECT101-ish; the
-    # boundary treatment only affects a 3px frame)
+    # boundary treatment only affects a 3px frame), unrolled as shifted
+    # fused multiply-adds (XLA CPU's convolve lowering is ~10x slower)
     pad = jnp.pad(img, ((r, r), (0, 0)), mode="edge")
-    img_v = jax.vmap(lambda col: jnp.convolve(col, k, mode="valid"),
-                     in_axes=1, out_axes=1)(pad)
-    pad = jnp.pad(img_v, ((0, 0), (r, r)), mode="edge")
-    img_b = jax.vmap(lambda row: jnp.convolve(row, k, mode="valid"))(pad)
-    return jax.image.resize(img_b, (out_h, out_w), method="linear")
+    out = None
+    for i in range(len(k)):
+        t = float(k[i]) * pad[i:i + img.shape[0], :]
+        out = t if out is None else out + t
+    pad = jnp.pad(out, ((0, 0), (r, r)), mode="edge")
+    out = None
+    for i in range(len(k)):
+        t = float(k[i]) * pad[:, i:i + img.shape[1]]
+        out = t if out is None else out + t
+    return _resize_linear(out, out_h, out_w)
 
 
 def _gradient_field(img: jnp.ndarray, rho: float):
@@ -159,13 +211,20 @@ def _shift_fill(x: jnp.ndarray, dy: int, dx: int, fill):
     return out.at[yd, xd].set(x[ys, xs])
 
 
-@functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
+_blur_jit = jax.jit(_blur_and_scale, static_argnums=(1, 2))
+_grad_jit = jax.jit(_gradient_field, static_argnums=(1,))
+
+
 def _front(image, out_h: int, out_w: int):
-    """Blur/scale + gradient field."""
+    """Blur/scale + gradient field.
+
+    Two separate jit programs on purpose: fused, XLA CPU duplicates the
+    gather-resize chain into every gradient consumer (170 ms vs 66 ms for
+    the split at 1920x1440; optimization_barrier does not stop it)."""
     prec = math.pi * ANG_TH / 180.0
     rho = QUANT / math.sin(prec)
-    img = _blur_and_scale(image, out_h, out_w)
-    return _gradient_field(img, rho)
+    img = _blur_jit(image, out_h, out_w)
+    return _grad_jit(img, rho)
 
 
 @jax.jit

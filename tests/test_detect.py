@@ -115,3 +115,18 @@ def test_empty_image():
     img = np.full((200, 300), 128, np.uint8)
     det = detector.detect_line_segments(img, 300, 200, 10.0, 3000)
     assert det.shape == (0, 4)
+
+
+def test_resize_linear_matches_jax_image():
+    """The sparse gather-fma resize reproduces jax.image.resize
+    (linear, antialias) to float tolerance at the LSD 0.8 downscale."""
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(3)
+    for shape, out in [((90, 120), (72, 96)), ((64, 64), (52, 52)),
+                       ((33, 47), (27, 38))]:
+        x = jnp.asarray(rng.uniform(0, 255, shape).astype(np.float32))
+        ref = jax.image.resize(x, out, method="linear")
+        got = vectorized_lsd._resize_linear(x, *out)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-4)
