@@ -30,7 +30,7 @@ EPS = 1e-12
 
 
 def _compute(params_ref, segs_src_ref, segs_tgtT_ref, mask_src_ref,
-             mask_tgtT_ref):
+             mask_tgtT_ref, signs_only: bool = False):
     P = params_ref
     # params layout (see match_pair_dense_pallas):
     # 0..8   F (row-major)          9..17  RtKinv_src
@@ -88,7 +88,10 @@ def _compute(params_ref, segs_src_ref, segs_tgtT_ref, mask_src_ref,
     # D_segment_overlap_2D is a ratio of point distances, and every
     # comparison is against a non-negative threshold, so the whole gate is
     # monotone under squaring — this removes ~10 [BS, BT]-sized sqrts.
-    def overlap_sq(ax, ay, bx, by, cx, cy, dx, dy):
+    # The ratio is kept as a (num, den) pair (den > 0) and every threshold
+    # test is cross-multiplied (num > t*den), removing 8 more [BS, BT]
+    # divides per pair.
+    def overlap_sq_nd(ax, ay, bx, by, cx, cy, dx, dy):
         d2 = lambda ux, uy, vx, vy: (ux - vx) ** 2 + (uy - vy) ** 2
         len2_ab = d2(ax, ay, bx, by)
         len2_cd = d2(cx, cy, dx, dy)
@@ -100,28 +103,38 @@ def _compute(params_ref, segs_src_ref, segs_tgtT_ref, mask_src_ref,
         b_in = on(cx, cy, dx, dy, bx, by)
         safe = lambda x: jnp.maximum(x, EPS)
         EPS2 = EPS * EPS
-        c1 = len2_cd / safe(len2_ab)
-        c2 = len2_ab / safe(len2_cd)
         l31 = d2(bx, by, dx, dy)
         l32 = d2(ax, ay, dx, dy)
-        c3 = jnp.where(a_in & (l31 > EPS2), d2(cx, cy, ax, ay) / safe(l31),
-                       jnp.where(l32 > EPS2,
-                                 d2(cx, cy, bx, by) / safe(l32), 0.0))
+        b3 = a_in & (l31 > EPS2)
+        n3 = jnp.where(b3, d2(cx, cy, ax, ay),
+                       jnp.where(l32 > EPS2, d2(cx, cy, bx, by), 0.0))
+        e3 = jnp.where(b3, safe(l31),
+                       jnp.where(l32 > EPS2, safe(l32), 1.0))
         l41 = d2(ax, ay, cx, cy)
         l42 = d2(bx, by, cx, cy)
-        c4 = jnp.where(b_in & (l41 > EPS2), d2(dx, dy, bx, by) / safe(l41),
-                       jnp.where(l42 > EPS2,
-                                 d2(dx, dy, ax, ay) / safe(l42), 0.0))
-        ov = jnp.where(c_in & d_in, c1,
-                       jnp.where(a_in & b_in, c2,
-                                 jnp.where(c_in, c3,
-                                           jnp.where(d_in, c4, 0.0))))
-        return jnp.where((len2_ab < 1.0) | (len2_cd < 1.0), 0.0, ov)
+        b4 = b_in & (l41 > EPS2)
+        n4 = jnp.where(b4, d2(dx, dy, bx, by),
+                       jnp.where(l42 > EPS2, d2(dx, dy, ax, ay), 0.0))
+        e4 = jnp.where(b4, safe(l41),
+                       jnp.where(l42 > EPS2, safe(l42), 1.0))
+        num = jnp.where(c_in & d_in, len2_cd,
+                        jnp.where(a_in & b_in, len2_ab,
+                                  jnp.where(c_in, n3,
+                                            jnp.where(d_in, n4, 0.0))))
+        den = jnp.where(c_in & d_in, safe(len2_ab),
+                        jnp.where(a_in & b_in, safe(len2_cd),
+                                  jnp.where(c_in, e3,
+                                            jnp.where(d_in, e4, 1.0))))
+        num = jnp.where((len2_ab < 1.0) | (len2_cd < 1.0), 0.0, num)
+        return num, den
 
-    ov1 = overlap_sq(p1x, p1y, p2x, p2y, b1x, b1y, b2x, b2y)
-    ov2 = overlap_sq(q1x, q1y, q2x, q2y, a1x, a1y, a2x, a2y)
-    ov_ok = (jnp.minimum(ov1, ov2) > ov_lo * ov_lo) & \
-            (jnp.maximum(ov1, ov2) > ov_hi * ov_hi)
+    n1, e1 = overlap_sq_nd(p1x, p1y, p2x, p2y, b1x, b1y, b2x, b2y)
+    n2, e2 = overlap_sq_nd(q1x, q1y, q2x, q2y, a1x, a1y, a2x, a2y)
+    lo2 = ov_lo * ov_lo
+    hi2 = ov_hi * ov_hi
+    # min(ov1,ov2) > lo2  &  max(ov1,ov2) > hi2, cross-multiplied
+    ov_ok = ((n1 > lo2 * e1) & (n2 > lo2 * e2) &
+             ((n1 > hi2 * e1) | (n2 > hi2 * e2)))
 
     def ray_n(M, x, y):
         """Normalized ray — only for [BS,1]/[1,BT]-shaped endpoints."""
@@ -152,8 +165,13 @@ def _compute(params_ref, segs_src_ref, segs_tgtT_ref, mask_src_ref,
         e = r2[0] * w0[0] + r2[1] * w0[1] + r2[2] * w0[2]
         denom = a * c - b * b
         ok = jnp.abs(denom) > EPS
-        inv = 1.0 / jnp.where(ok, denom, 1.0)
         num = (b * e - c * d) if want_first else (a * e - b * d)
+        if signs_only:
+            # the valid-only kernel consumes depths through `d > 0` alone:
+            # sign(num/denom) == sign(num*denom), no divide needed (rays
+            # are unit and the scene is conditioned, so no overflow)
+            return num * denom, ok
+        inv = 1.0 / jnp.where(ok, denom, 1.0)
         return jnp.where(ok, num * inv, -1.0), ok
 
     ray_p1 = ray_n(Ms, p1x, p1y)
@@ -192,9 +210,11 @@ def _kernel(params_ref, segs_src_ref, segs_tgtT_ref, mask_src_ref,
 def _kernel_valid(params_ref, segs_src_ref, segs_tgtT_ref, mask_src_ref,
                   mask_tgtT_ref, valid_ref):
     """Valid-plane-only variant: skips the 4 depth-plane HBM writes (depths
-    are recomputed later at the compacted [S, M] shape, pairwise.py)."""
+    are recomputed later at the compacted [S, M] shape, pairwise.py) and
+    the 4 triangulation divides (only depth signs feed the valid bit)."""
     _, valid = _compute(
-        params_ref, segs_src_ref, segs_tgtT_ref, mask_src_ref, mask_tgtT_ref)
+        params_ref, segs_src_ref, segs_tgtT_ref, mask_src_ref, mask_tgtT_ref,
+        signs_only=True)
     shape = (segs_src_ref.shape[0], segs_tgtT_ref.shape[1])
     valid_ref[:, :] = jnp.broadcast_to(valid, shape).astype(jnp.float32)
 

@@ -311,6 +311,14 @@ class Line3D:
                 cpairs, cw, ccnt = collinearity_dispatch(
                     scene.segments, scene.seg_mask, cfg.collinearity_sigma,
                     num_pad_views=Vp)
+                # queue both device->host copies before blocking on either:
+                # the matching program finishes first (it was dispatched
+                # first), so its transfer rides the DMA path while the
+                # collinearity program is still executing (~0.15 s saved
+                # per scene through the tunnel).
+                for _arr in (buf, cpairs, cw, ccnt):
+                    if hasattr(_arr, "copy_to_host_async"):
+                        _arr.copy_to_host_async()
                 scene.collin = collinearity_finalize(
                     cpairs, cw, ccnt, max_segments=scene.max_segments,
                     num_views=scene.num_views, verbose=self.verbose)
