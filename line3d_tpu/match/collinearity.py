@@ -153,8 +153,11 @@ def collinearity_compact_all(segments, masks, coll_sigma_sq, quota=8):
             tgt, kept, n_valid = compact_rows_blockq(keep, quota)
             sj = segs[jnp.maximum(tgt, 0)]              # [S, K, 4]
             iota = jax.lax.broadcasted_iota(jnp.int32, tgt.shape, 0)
-            w = _pair_aff(segs, sj, mask[:, None],
-                          mask[jnp.maximum(tgt, 0)] & kept,
+            # kept slots come from the keep plane, which already gated on
+            # mask_i & mask_j — re-gathering mask[tgt] here is redundant
+            # and costs ~5 ms/view (pred[S] gather at S*K indices; XLA
+            # small-axis gather landmine)
+            w = _pair_aff(segs, sj, mask[:, None], kept,
                           tgt != iota, coll_sigma_sq)
             return tgt, w, jnp.sum(n_valid)
 
