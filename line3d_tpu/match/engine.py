@@ -233,7 +233,8 @@ def run_matching(scene: Scene, cameras: CameraSet, neighbors: list,
 
 def dispatch_matching_sharded(scene: Scene, cameras: CameraSet,
                               neighbors: list, config: L3DConfig,
-                              mesh=None, k_export_per_seg: int = 8):
+                              mesh=None, k_export_per_seg: int = 8,
+                              warm_only: bool = False):
     """Launch the whole-scene matching program WITHOUT blocking.
 
     Returns (buf, ctx) where buf is the lazy packed [Vp, D] device array
@@ -241,6 +242,11 @@ def dispatch_matching_sharded(scene: Scene, cameras: CameraSet,
     (None, None) when there is nothing to match.  Keeping dispatch separate
     from readback lets the pipeline overlap this program's remote compile /
     execution with other device programs and host work.
+
+    warm_only=True marks every view inactive: the dispatched program is the
+    SAME executable (view_active is a runtime input) so it forces the
+    compile/load, but every per-view lax.cond takes the dead branch and
+    execution costs ~ms instead of the full scene (~1.4 s at 25 views).
     """
     from ..parallel import mesh as mesh_mod, sharded
 
@@ -259,6 +265,8 @@ def dispatch_matching_sharded(scene: Scene, cameras: CameraSet,
     segments, seg_mask, stacks, nb_ids = sharded.build_stacks(
         scene, cameras, neighbors, config, num_pad_views=Vp,
         num_pad_neighbors=n_pad)
+    if warm_only:
+        stacks["view_active"] = np.zeros_like(stacks["view_active"])
 
     k_export = min(S * k_export_per_seg,
                    S * min(config.max_matches_per_segment, S))
@@ -307,7 +315,7 @@ def warmup_matching_sharded(num_views: int, max_segments: int,
     n_nb = min(n_nb, V - 1)
     neighbors = [[(v + 1 + i) % V for i in range(n_nb)] for v in range(V)]
     buf, _ = dispatch_matching_sharded(scene, cams, neighbors, config,
-                                       mesh=mesh)
+                                       mesh=mesh, warm_only=True)
     return buf
 
 
