@@ -98,6 +98,37 @@ def test_detect_against_opencv_lsd():
     assert r >= 0.8, f"recall vs opencv LSD {r} ({len(ref_long)} ref segs)"
 
 
+def test_detect_against_opencv_lsd_stressed():
+    """Parity must survive sensor noise + an illumination gradient at a
+    production-like resolution (measured 0.99-1.00 mutual recall at
+    1920x1440; this pins a conservative floor at a cheaper size)."""
+    if not hasattr(cv2, "createLineSegmentDetector"):
+        pytest.skip("cv2 without LSD")
+    w, h = 1280, 960
+    img, _ = draw_scene(width=w, height=h, seed=5, n_lines=80, thickness=2)
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:h, 0:w]
+    noisy = np.clip(img.astype(np.float32) + rng.normal(0, 12, img.shape)
+                    + 50.0 * (xx / w + yy / h) / 2, 0, 255).astype(np.uint8)
+    lsd = cv2.createLineSegmentDetector(cv2.LSD_REFINE_ADV)
+    ref = lsd.detect(noisy)[0].reshape(-1, 4)
+    lens = np.hypot(ref[:, 0] - ref[:, 2], ref[:, 1] - ref[:, 3])
+    minlen = 0.005 * np.hypot(w, h)
+    ref_long = ref[lens > max(minlen, 40.0)]
+
+    det = detector.detect_line_segments(noisy.astype(np.float32), w, h,
+                                        min_length=minlen, max_segments=3000)
+    r = seg_recall(ref_long, det, dist_tol=5.0, ang_tol_deg=5.0, cover=0.5)
+    assert r >= 0.9, f"stressed recall vs opencv LSD {r} ({len(ref_long)})"
+    # and the reverse direction: our long segments must be real (found by
+    # the reference detector too), not hallucinated
+    det_lens = np.hypot(det[:, 0] - det[:, 2], det[:, 1] - det[:, 3])
+    det_long = det[det_lens > max(minlen, 40.0)]
+    r_rev = seg_recall(det_long, ref, dist_tol=5.0, ang_tol_deg=5.0,
+                       cover=0.5)
+    assert r_rev >= 0.9, f"reverse (precision) recall {r_rev}"
+
+
 def test_detect_scaling_roundtrip():
     """Coordinates must come back in original resolution when the pipeline
     downsizes the image first (detectLineSegments, line3D.cc:1794-1844)."""
