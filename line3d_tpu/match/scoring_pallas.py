@@ -12,7 +12,7 @@ gather ``proj[q, m, cam[m2]]`` is an N-step unrolled masked select (N =
 Layout per source segment s (grid = (S,)):
   pm_row [16, M]  per-match scalars, m on lanes  (row broadcasts)
   pm_col [M, 16]  the same scalars transposed    (column broadcasts)
-  proj   [9, N, M] hypothesis projections of every match into every
+  proj   [7, N, M] hypothesis projections of every match into every
                    neighbor camera, m on lanes
   out    [1, M]   confidence per match slot
 
@@ -51,11 +51,17 @@ _TLX, _TLY, _TLZ, _ITDEN = 4, 5, 6, 7
 _Q1X, _Q1Y, _Q2X, _Q2Y = 8, 9, 10, 11
 _DIRX, _DIRY, _DIRZ = 12, 13, 14
 _PM = 16
-# proj plane slots
+# proj plane slots.  The projected-line coefficients arrive PRE-NORMALIZED
+# (multiplied by 1/|(plx, ply)|) and carry the projection-ok gate folded in:
+# when either endpoint's projection has |z| <= EPS, (PLX, PLY, PLZ) =
+# (0, 0, 1e9), which forces db = 1e9 -> dist huge -> conf = 0 with no
+# cancellation risk (the q-dependence is killed by the zero coefficients).
+# This keeps the per-camera gather at 7 planes instead of 9 (the gather is
+# an N-step unrolled masked select over [M, M] planes — its cost is linear
+# in the plane count).
 _PX1, _PY1, _PX2, _PY2 = 0, 1, 2, 3
-_PLX, _PLY, _PLZ, _IPLD = 4, 5, 6, 7
-_POK = 8
-_PJ = 9
+_PLX, _PLY, _PLZ = 4, 5, 6
+_PJ = 7
 
 
 def _kernel(params_ref, pm_row_ref, proj_ref, out_ref, *,
@@ -94,10 +100,8 @@ def _kernel(params_ref, pm_row_ref, proj_ref, out_ref, *,
                   + col(_TLZ)) * col(_ITDEN)
     da2 = jnp.abs(col(_TLX) * G[_PX2] + col(_TLY) * G[_PY2]
                   + col(_TLZ)) * col(_ITDEN)
-    db1 = jnp.abs(G[_PLX] * col(_Q1X) + G[_PLY] * col(_Q1Y)
-                  + G[_PLZ]) * G[_IPLD]
-    db2 = jnp.abs(G[_PLX] * col(_Q2X) + G[_PLY] * col(_Q2Y)
-                  + G[_PLZ]) * G[_IPLD]
+    db1 = jnp.abs(G[_PLX] * col(_Q1X) + G[_PLY] * col(_Q1Y) + G[_PLZ])
+    db2 = jnp.abs(G[_PLX] * col(_Q2X) + G[_PLY] * col(_Q2Y) + G[_PLZ])
     dist = jnp.maximum(jnp.maximum(da1, da2), jnp.maximum(db1, db2))
     conf_pos = jnp.exp(-dist * dist * inv_sig_p2)
 
@@ -124,8 +128,9 @@ def _kernel(params_ref, pm_row_ref, proj_ref, out_ref, *,
 
     iota_m2 = jax.lax.broadcasted_iota(jnp.int32, (M, M), 0)
     iota_m = jax.lax.broadcasted_iota(jnp.int32, (M, M), 1)
+    # the projection-ok gate is folded into the PL* planes (see slot note)
     pair_ok = ((valid_row > 0.5) & (valid_col > 0.5) & gate
-               & (G[_POK] > 0.5) & (iota_m2 != iota_m))
+               & (iota_m2 != iota_m))
 
     conf = jnp.minimum(conf_pos, conf_ang)
     conf = jnp.where(pair_ok & (conf > support_threshold), conf, f32(0))
@@ -212,14 +217,19 @@ def score_matches_pallas(segs_src, mask_src, RtKinv_src, C_src,
 
     px1, py1, ok1 = proj_all(d1, ray1)
     px2, py2, ok2 = proj_all(d2, ray2)
-    pok = (ok1 & ok2).astype(f32)
+    pok = ok1 & ok2
     plx = py1 - py2
     ply = px2 - px1
     plz = px1 * py2 - py1 * px2
     ipld = 1.0 / jnp.maximum(jnp.sqrt(plx ** 2 + ply ** 2), EPS)
+    # pre-normalize the projected line and fold the projection-ok gate in
+    # (see the slot-layout note at the top): 7 gather planes instead of 9
+    plx = jnp.where(pok, plx * ipld, 0.0)
+    ply = jnp.where(pok, ply * ipld, 0.0)
+    plz = jnp.where(pok, plz * ipld, f32(1e9))
 
-    proj = jnp.stack([px1, py1, px2, py2, plx, ply, plz, ipld, pok],
-                     axis=1)                         # [S, 9, N, M]
+    proj = jnp.stack([px1, py1, px2, py2, plx, ply, plz],
+                     axis=1)                         # [S, 7, N, M]
 
     # slot order must match the _D1.._DIRZ indices above
     planes = [d1, d2, cam.astype(f32), valid.astype(f32),
