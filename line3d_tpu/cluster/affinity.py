@@ -90,16 +90,9 @@ def potential_correspondence_lists(matches: list, num_views: int,
     potential_correspondences_ (line3D.cc:861-865) which is filled from the
     *verified* match lists.
     """
-    S = max_segments
-    pairs = []
-    for vm in matches:
-        a = vm.view * S + vm.src_seg.astype(np.int64)
-        b = vm.tgt_view.astype(np.int64) * S + vm.tgt_seg.astype(np.int64)
-        pairs.append(np.stack([a, b], axis=1))
-        pairs.append(np.stack([b, a], axis=1))
-    if not pairs:
+    allp = _correspondence_pairs(matches, num_views, max_segments)
+    if not len(allp):
         return {}
-    allp = np.unique(np.concatenate(pairs, axis=0), axis=0)
     adj = {}
     keys, starts = np.unique(allp[:, 0], return_index=True)
     starts = np.append(starts, len(allp))
@@ -183,15 +176,214 @@ def _build_affinity_graph_fast(best, adj, row_of, key_of, cams, config,
         num_nodes=len(node_rows))
 
 
+def _collin_csr(collin, num_views: int, S: int):
+    """Global CSR over node key = view*S + seg -> (sorted partner segs,
+    weights).  Fast path reads the flat arrays a CollinMaps carries;
+    fallback iterates the dicts (tests may pass plain lists of dicts)."""
+    n_keys = num_views * S
+    if getattr(collin, "flat_view", None) is not None:
+        fv = collin.flat_view.astype(np.int64)
+        fi = collin.flat_i.astype(np.int64)
+        fj = collin.flat_j.astype(np.int64)
+        fw = collin.flat_w
+        ikey = fv * S + fi                      # sorted ascending by export
+    else:
+        ik, jj, ww = [], [], []
+        for v, d in enumerate(collin):
+            for i, m in d.items():
+                for j, wv in sorted(m.items()):
+                    ik.append(v * np.int64(S) + i)
+                    jj.append(j)
+                    ww.append(wv)
+        ikey = np.asarray(ik, np.int64)
+        fj = np.asarray(jj, np.int64)
+        fw = np.asarray(ww, np.float32)
+        o = np.lexsort((fj, ikey))
+        ikey, fj, fw = ikey[o], fj[o], fw[o]
+    # out-of-range segment ids cannot collide with any real node key, so
+    # dropping them preserves the loop path's semantics exactly
+    ok = (ikey >= 0) & (ikey < n_keys) & (fj >= 0) & (fj < S)
+    if not ok.all():
+        ikey, fj, fw = ikey[ok], fj[ok], fw[ok]
+    ptr = np.zeros(n_keys + 1, np.int64)
+    np.add.at(ptr, ikey + 1, 1)
+    np.cumsum(ptr, out=ptr)
+    return ptr, fj, fw
+
+
+def _build_affinity_graph_vec(best, allp, row_lookup, key_of, collin,
+                              cams, config, max_segments, verbose):
+    """Vectorized exact-order enumeration of the collinearity path.
+
+    Reproduces the reference traversal (line3D.cc:984-1221) as one flat
+    candidate stream ordered by (source rank, within-source ordinal) with
+    the interleaving [A(t0), B(t0,*), A(t1), B(t1,*), ..., C(*)] per
+    source; the order-dependent `used` dedup becomes "first occurrence of
+    each unordered pair in stream order" (np.unique).  Equivalence with
+    the loop enumerator is covered by tests/test_affinity.py.
+    """
+    S = max_segments
+    V = cams.num_views
+    M = np.int64(V) * S
+    ptr, coll_j, coll_w = _collin_csr(collin, V, S)
+    coll_cnt = np.diff(ptr)
+
+    order = np.argsort(key_of, kind="stable")
+    key_sorted = key_of[order]
+
+    # --- A entries: per source, its sorted potential correspondents ------
+    lo = np.searchsorted(allp[:, 0], key_sorted, side="left")
+    hi = np.searchsorted(allp[:, 0], key_sorted, side="right")
+    n_adj = hi - lo                                   # [B] per-src A count
+    Na = int(n_adj.sum())
+    starts = np.cumsum(n_adj) - n_adj                 # block start per src
+    parent_src = np.repeat(np.arange(len(order)), n_adj)     # srcrank per A
+    j_A = np.arange(Na) - np.repeat(starts, n_adj)    # index within src
+    a_idx = np.repeat(lo, n_adj) + j_A
+    tgt_A = allp[a_idx, 1]                            # ascending per src
+    srcrow_A = order[parent_src]
+
+    trow_A = row_lookup[tgt_A]
+    blen = np.where(trow_A >= 0, coll_cnt[tgt_A], 0)
+
+    # within-source ordinal of each A entry: own index + collinear
+    # expansions of the previous A entries of the same source.
+    # cum0[k] = total blen of A entries before global position k.
+    cumb = np.cumsum(blen)
+    cum0 = np.concatenate([[0], cumb])
+    ord_A = j_A + (cum0[:-1] - np.repeat(cum0[starts], n_adj))
+
+    # --- B entries: collinear partners of each matched A target ----------
+    NB = int(blen.sum())
+    parent_B = np.repeat(np.arange(Na), blen)
+    k_B = np.arange(NB) - np.repeat(cumb - blen, blen)
+    cj = coll_j[np.repeat(ptr[tgt_A], blen) + k_B]
+    tgt_B = (tgt_A[parent_B] // S) * S + cj
+    srcrank_B = parent_src[parent_B]
+    srcrow_B = srcrow_A[parent_B]
+    ord_B = ord_A[parent_B] + 1 + k_B
+
+    # --- C entries: the source's own collinear partners ------------------
+    clen = coll_cnt[key_sorted]
+    NC = int(clen.sum())
+    parent_C = np.repeat(np.arange(len(order)), clen)
+    k_C = np.arange(NC) - np.repeat(np.cumsum(clen) - clen, clen)
+    flat_C = coll_j[np.repeat(ptr[key_sorted], clen) + k_C]
+    cw_C = coll_w[np.repeat(ptr[key_sorted], clen) + k_C]
+    tgt_C = (key_sorted[parent_C] // S) * S + flat_C
+    srcrow_C = order[parent_C]
+    # per-source AB total = #A + (sum of blen within the source's block)
+    ab_total = n_adj + (cum0[starts + n_adj] - cum0[starts])
+    ord_C = ab_total[parent_C] + k_C
+
+    # --- assemble the stream in traversal order ---------------------------
+    srcrank = np.concatenate([parent_src, srcrank_B, parent_C])
+    ordinal = np.concatenate([ord_A, ord_B, ord_C])
+    src_rows = np.concatenate([srcrow_A, srcrow_B, srcrow_C])
+    tgt_keys = np.concatenate([tgt_A, tgt_B, tgt_C])
+    kinds = np.concatenate([np.zeros(Na, np.int8), np.ones(NB, np.int8),
+                            np.full(NC, 2, np.int8)])
+    cws = np.concatenate([np.ones(Na + NB), cw_C.astype(np.float64)])
+
+    pos = np.lexsort((ordinal, srcrank))
+    src_rows, tgt_keys = src_rows[pos], tgt_keys[pos]
+    kinds, cws = kinds[pos], cws[pos]
+
+    # --- order-dependent `used` dedup: first occurrence in stream order ---
+    src_keys = key_of[src_rows]
+    amin = np.minimum(src_keys, tgt_keys)
+    amax = np.maximum(src_keys, tgt_keys)
+    _, first = np.unique(amin * M + amax, return_index=True)
+    keep_idx = np.sort(first)
+    src_rows, tgt_keys = src_rows[keep_idx], tgt_keys[keep_idx]
+    kinds, cws = kinds[keep_idx], cws[keep_idx]
+
+    trow = row_lookup[tgt_keys]
+    has = trow >= 0
+    src_rows, tgt_rows = src_rows[has], trow[has]
+    kinds, cws = kinds[has], cws[has]
+
+    if not len(src_rows):
+        return AffinityGraph(np.zeros(0, np.int32), np.zeros(0, np.int32),
+                             np.zeros(0, np.float32),
+                             np.zeros(0, np.int32), np.zeros(0, np.int32), 0)
+
+    sim = similarity_coll3d(cams, best, src_rows, tgt_rows, config.sigma_a)
+    base = 0.5 * (best.score[src_rows].astype(np.float64) +
+                  best.score[tgt_rows].astype(np.float64))
+    w = np.where(kinds == 2, cws, 1.0) * base * sim
+    thr = np.where(kinds == 0, config.min_affinity, config.collinear_affinity)
+    passed = w > thr
+    src_rows, tgt_rows, w = src_rows[passed], tgt_rows[passed], w[passed]
+
+    # --- node ids in emission order ---------------------------------------
+    seq = np.empty(2 * len(src_rows), np.int64)
+    seq[0::2] = src_rows
+    seq[1::2] = tgt_rows
+    uniq, first = np.unique(seq, return_index=True)
+    id_order = np.argsort(first, kind="stable")
+    node_rows = uniq[id_order]
+    node_of = np.full(best.view.size, -1, np.int64)
+    node_of[node_rows] = np.arange(len(node_rows))
+
+    a = node_of[src_rows]
+    b = node_of[tgt_rows]
+    E = len(a)
+    ei = np.empty(2 * E, np.int32)
+    ej = np.empty(2 * E, np.int32)
+    ew = np.empty(2 * E, np.float32)
+    ei[0::2] = a; ej[0::2] = b
+    ei[1::2] = b; ej[1::2] = a
+    ew[0::2] = w; ew[1::2] = w
+
+    if verbose:
+        print(f"[L3D] A: #num_entries = {len(ei)}")
+        print(f"[L3D] A: #num_rows    = {len(node_rows)}")
+    return AffinityGraph(
+        edges_i=ei, edges_j=ej, edges_w=ew,
+        node_view=best.view[node_rows].astype(np.int32),
+        node_seg=best.seg[node_rows].astype(np.int32),
+        num_nodes=len(node_rows))
+
+
+def _correspondence_pairs(matches: list, num_views: int, max_segments: int):
+    """Sorted unique symmetric (key_a, key_b) array over verified matches
+    (the array form of potential_correspondence_lists).  Pairs are packed
+    into one int64 so the unique is a single 1-D sort — np.unique(axis=0)
+    on the 2-column form is ~15x slower at 1000-view scale."""
+    S = max_segments
+    M = np.int64(num_views) * S
+    keys = []
+    for vm in matches:
+        a = vm.view * S + vm.src_seg.astype(np.int64)
+        b = vm.tgt_view.astype(np.int64) * S + vm.tgt_seg.astype(np.int64)
+        keys.append(a * M + b)
+        keys.append(b * M + a)
+    if not keys:
+        return np.zeros((0, 2), np.int64)
+    pk = np.unique(np.concatenate(keys))
+    return np.stack([pk // M, pk % M], axis=1)
+
+
 def build_affinity_graph(best: BestMatches, matches: list,
                          collin: list | None, cams: CameraSet,
                          config: L3DConfig, max_segments: int,
-                         verbose: bool = False) -> AffinityGraph:
+                         verbose: bool = False,
+                         force_loop: bool = False) -> AffinityGraph:
     S = max_segments
     B = best.view.size
 
     key_of = best.view.astype(np.int64) * S + best.seg.astype(np.int64)
     row_of = {int(k): r for r, k in enumerate(key_of)}
+
+    has_collin = collin is not None and any(len(c) for c in collin)
+    if has_collin and not force_loop:
+        allp = _correspondence_pairs(matches, cams.num_views, S)
+        row_lookup = np.full(cams.num_views * S, -1, np.int64)
+        row_lookup[key_of] = np.arange(B)
+        return _build_affinity_graph_vec(best, allp, row_lookup, key_of,
+                                         collin, cams, config, S, verbose)
+
     adj = potential_correspondence_lists(matches, cams.num_views, S)
 
     def collin_partners(view: int, seg: int):
@@ -202,11 +394,12 @@ def build_affinity_graph(best: BestMatches, matches: list,
             return ()
         return sorted(m.items())
 
-    if collin is None or all(not c for c in collin):
+    if not has_collin:
         return _build_affinity_graph_fast(best, adj, row_of, key_of, cams,
                                           config, verbose)
 
-    # ---- enumeration (exact reference traversal order) -------------------
+    # ---- enumeration (exact reference traversal order; kept as the
+    # semantic reference for the vectorized path's equivalence test) ------
     used = set()
     cand_src, cand_tgt, cand_kind, cand_cw = [], [], [], []
 

@@ -26,6 +26,13 @@ class L3DConfig:
     collinearity_sigma: float = 2.0      # L3D_DEF_COLLINEARITY_S
     use_collinearity: bool = True        # L3D_DEF_COLLINEARITY_FOR_CLUSTERING
     collinearity_aff_threshold: float = 0.50  # L3D_COLLIN_AFF_T_G (cudawrapper.h:44)
+    # device->host export cap on collinear pairs per view:
+    # max(8192, collinearity_pairs_per_seg * S).  The reference keeps all
+    # pairs (sparse map, segments.h:76-100); this cap only bounds the
+    # transfer buffer — drops are counted and warned.  Measured usage is
+    # ~1 pair/segment on synthetic scenes; the padded buffer dominates the
+    # device link at large view counts (~0.2 GB at 1000 views with 8/seg).
+    collinearity_pairs_per_seg: int = 4
 
     # --- matching (commons.h:52-58, cudawrapper.h:45-46) ---
     matching_neighbors: int = 10         # L3D_DEF_MATCHING_NEIGHBORS

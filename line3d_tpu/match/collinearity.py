@@ -114,13 +114,14 @@ def _pair_aff(si, sj, mask_i, mask_j, not_self, coll_sigma_sq):
     return jnp.where(keep, aff, 0.0)
 
 
-def _pairs_cap(S: int, K: int, quota: int) -> int:
+def _pairs_cap(S: int, K: int, quota: int, pairs_per_seg: int = 4) -> int:
     """Static per-view cap on exported collinear pairs (shape-derived)."""
-    return min(S * K, max(8192, 8 * S))
+    return min(S * K, max(8192, pairs_per_seg * S))
 
 
-@functools.partial(jax.jit, static_argnames=("quota",))
-def collinearity_compact_all(segments, masks, coll_sigma_sq, quota=8):
+@functools.partial(jax.jit, static_argnames=("quota", "pairs_per_seg"))
+def collinearity_compact_all(segments, masks, coll_sigma_sq, quota=8,
+                             pairs_per_seg: int = 4):
     """All views' collinearity maps, compacted ON DEVICE to flat pair lists.
 
     Transferring the dense [S, S] maps to host costs ~37 MB/view over the
@@ -175,7 +176,7 @@ def collinearity_compact_all(segments, masks, coll_sigma_sq, quota=8):
     # bodies are ~2x slower on TPU than one batched 2-D sort).
     tgt, w, count = jax.lax.map(per_view, (segments, masks))
     V, S, K = w.shape
-    C = _pairs_cap(S, K, quota)
+    C = _pairs_cap(S, K, quota, pairs_per_seg)
     row = jax.lax.broadcasted_iota(jnp.int32, (V, S, K), 1)
     key = jnp.where(w > 0.0, row * S + tgt, jnp.int32(S) * S)
     skey, sw = jax.lax.sort(
@@ -188,7 +189,8 @@ def collinearity_compact_all(segments, masks, coll_sigma_sq, quota=8):
 
 def collinearity_dispatch(scene_segments, scene_mask, coll_sigma: float,
                           quota: int = 8,
-                          num_pad_views: int | None = None):
+                          num_pad_views: int | None = None,
+                          pairs_per_seg: int = 4):
     """Launch the device-compacted collinearity program WITHOUT blocking.
 
     Returns lazy device arrays (pairs, w, count); pass them to
@@ -208,7 +210,24 @@ def collinearity_dispatch(scene_segments, scene_mask, coll_sigma: float,
         mask = np.pad(mask, [(0, pad), (0, 0)])
     sig2 = np.float32(coll_sigma * coll_sigma)
     return collinearity_compact_all(
-        jnp.asarray(segs), jnp.asarray(mask), sig2, quota=quota)
+        jnp.asarray(segs), jnp.asarray(mask), sig2, quota=quota,
+        pairs_per_seg=pairs_per_seg)
+
+
+class CollinMaps(list):
+    """Per-view sparse collinearity maps: a list of {seg_i: {seg_j: w}}
+    dicts (the L3DSegments::collinearities shape, segments.h:115-117) that
+    ALSO carries the flat sorted pair arrays it was decoded from, so bulk
+    consumers (cluster/affinity.py) can build CSR indices with numpy
+    instead of iterating millions of dict entries.
+
+    flat_view [P] int32, flat_i / flat_j [P] int32, flat_w [P] f32 —
+    sorted by (view, i, j) ascending (the device export order).
+    """
+    flat_view: np.ndarray = None
+    flat_i: np.ndarray = None
+    flat_j: np.ndarray = None
+    flat_w: np.ndarray = None
 
 
 def collinearity_finalize(pairs, w, count, max_segments: int,
@@ -225,25 +244,37 @@ def collinearity_finalize(pairs, w, count, max_segments: int,
     if dropped and verbose:
         print(f"[L3D] WARNING: collinearity quota/cap dropped up to "
               f"{dropped} pairs (raise quota / cap)")
-    out = []
+    out = CollinMaps()
+    fv, fi, fj, fw = [], [], [], []
     for v in range(V):
         d: dict = {}
         pv = pairs[v]
         sel = pv >= 0
-        for p, wij in zip(pv[sel].tolist(), w[v][sel].tolist()):
+        kept_p = pv[sel]
+        kept_w = w[v][sel]
+        fv.append(np.full(len(kept_p), v, np.int32))
+        fi.append((kept_p // S).astype(np.int32))
+        fj.append((kept_p % S).astype(np.int32))
+        fw.append(kept_w.astype(np.float32))
+        for p, wij in zip(kept_p.tolist(), kept_w.tolist()):
             d.setdefault(p // S, {})[p % S] = wij
         out.append(d)
+    out.flat_view = np.concatenate(fv) if fv else np.zeros(0, np.int32)
+    out.flat_i = np.concatenate(fi) if fi else np.zeros(0, np.int32)
+    out.flat_j = np.concatenate(fj) if fj else np.zeros(0, np.int32)
+    out.flat_w = np.concatenate(fw) if fw else np.zeros(0, np.float32)
     return out
 
 
 def collinearity_maps_fast(scene_segments, scene_mask, coll_sigma: float,
                            quota: int = 8,
-                           num_pad_views: int | None = None):
+                           num_pad_views: int | None = None,
+                           pairs_per_seg: int = 4):
     """Drop-in replacement for collinearity_maps using the device-compacted
     path (one dispatch for the whole scene)."""
     pairs, w, count = collinearity_dispatch(
         scene_segments, scene_mask, coll_sigma, quota=quota,
-        num_pad_views=num_pad_views)
+        num_pad_views=num_pad_views, pairs_per_seg=pairs_per_seg)
     return collinearity_finalize(pairs, w, count,
                                  max_segments=scene_segments.shape[1],
                                  num_views=len(scene_segments))

@@ -226,7 +226,8 @@ class Line3D:
         if cfg.use_collinearity:
             refs.append(collinearity_dispatch(
                 np.zeros((1, S, 4), np.float32), np.zeros((1, S), bool),
-                cfg.collinearity_sigma, num_pad_views=Vp))
+                cfg.collinearity_sigma, num_pad_views=Vp,
+                pairs_per_seg=cfg.collinearity_pairs_per_seg))
         self._warmup_refs = refs
 
     def set_view_similarity(self, image_id: int, sims: dict):
@@ -310,7 +311,8 @@ class Line3D:
                     multiple=cfg.view_pad_multiple)
                 cpairs, cw, ccnt = collinearity_dispatch(
                     scene.segments, scene.seg_mask, cfg.collinearity_sigma,
-                    num_pad_views=Vp)
+                    num_pad_views=Vp,
+                    pairs_per_seg=cfg.collinearity_pairs_per_seg)
                 # queue both device->host copies before blocking on either:
                 # the matching program finishes first (it was dispatched
                 # first), so its transfer rides the DMA path while the

@@ -40,6 +40,70 @@ def test_fast_path_matches_loop_path():
     # any best match)
     empty_collin[0][10 ** 6] = {10 ** 6 + 1: 0.9}
     g_loop = affinity.build_affinity_graph(best, matches, empty_collin,
-                                           cams, cfg, S)
+                                           cams, cfg, S, force_loop=True)
     assert _graph_fingerprint(g_fast) == _graph_fingerprint(g_loop)
     assert g_fast.num_nodes > 10
+
+
+def test_vectorized_collin_path_matches_loop_path():
+    """The vectorized collinearity enumeration (flat candidate stream +
+    first-occurrence dedup) must reproduce the exact-order loop enumerator
+    edge for edge, node id for node id."""
+    from line3d_tpu.match.collinearity import collinearity_maps_fast
+
+    syn = make_scene(num_views=8)
+    cams = syn.cameras
+    cfg = L3DConfig(use_collinearity=True)
+    tr = compute_conditioning(cams.C)
+    cams.transform(tr.Qinv, tr.scale)
+    sim, _ = view_similarities_from_worldpoints(syn.wp_lists,
+                                                syn.scene.num_views)
+    neighbors = find_visual_neighbors(sim, cams.baselines(),
+                                      cfg.min_baseline,
+                                      cfg.matching_neighbors)
+    matches, best, _ = engine.run_matching(syn.scene, cams, neighbors, cfg)
+    S = syn.scene.max_segments
+
+    # the house wireframe has no truly collinear 2D segments, so plant
+    # dense synthetic maps over real segment ids — this exercises the
+    # A/B/C interleaving and the order-dependent dedup far harder than
+    # real geometry (every best segment gets partners, symmetric entries,
+    # mixed weights around both thresholds)
+    rng = np.random.default_rng(0)
+    V = syn.scene.num_views
+    collin = []
+    for v in range(V):
+        ids = np.nonzero(syn.scene.seg_mask[v])[0]
+        d = {}
+        for i in ids.tolist():
+            partners = rng.choice(ids, size=min(3, len(ids)), replace=False)
+            d[i] = {int(j): float(rng.uniform(0.05, 1.0))
+                    for j in partners if int(j) != i}
+        collin.append(d)
+    from line3d_tpu.match.collinearity import CollinMaps
+    cm = CollinMaps(collin)
+    fv, fi, fj, fw = [], [], [], []
+    for v, d in enumerate(collin):
+        for i in sorted(d):
+            for j in sorted(d[i]):
+                fv.append(v); fi.append(i); fj.append(j)
+                fw.append(d[i][j])
+    cm.flat_view = np.asarray(fv, np.int32)
+    cm.flat_i = np.asarray(fi, np.int32)
+    cm.flat_j = np.asarray(fj, np.int32)
+    cm.flat_w = np.asarray(fw, np.float32)
+    collin = cm
+
+    g_vec = affinity.build_affinity_graph(best, matches, collin, cams,
+                                          cfg, S)
+    g_loop = affinity.build_affinity_graph(best, matches, collin, cams,
+                                           cfg, S, force_loop=True)
+    assert _graph_fingerprint(g_vec) == _graph_fingerprint(g_loop)
+    assert g_vec.num_nodes > 10
+
+    # and with plain dicts (no flat arrays attached) through the CSR
+    # fallback
+    plain = [dict(d) for d in collin]
+    g_plain = affinity.build_affinity_graph(best, matches, plain, cams,
+                                            cfg, S)
+    assert _graph_fingerprint(g_plain) == _graph_fingerprint(g_loop)
