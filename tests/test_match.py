@@ -253,3 +253,19 @@ def test_collinearity_fast_matches_dense():
                                            rtol=1e-5, atol=1e-6)
                 n_pairs += 1
     assert n_pairs > 0
+
+    # the flat CSR arrays a CollinMaps carries must agree with its dicts
+    # (bulk consumers read the arrays, cluster/affinity._collin_csr)
+    assert fast.flat_view is not None
+    rebuilt = [dict() for _ in range(len(fast))]
+    for v, i, j, wij in zip(fast.flat_view.tolist(), fast.flat_i.tolist(),
+                            fast.flat_j.tolist(), fast.flat_w.tolist()):
+        rebuilt[v].setdefault(i, {})[j] = wij
+    for dv_f, dv_r in zip(fast, rebuilt):
+        assert dv_f.keys() == dv_r.keys()
+        for i in dv_f:
+            assert dv_f[i] == dv_r[i]
+    # sorted by (view, i, j) — the order _collin_csr's CSR relies on
+    key = (fast.flat_view.astype(np.int64) * S * S
+           + fast.flat_i.astype(np.int64) * S + fast.flat_j)
+    assert (np.diff(key) > 0).all()
