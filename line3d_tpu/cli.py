@@ -107,6 +107,34 @@ def _finish(l3d: Line3D, args, output_folder: str):
     return stem
 
 
+def _warmup_and_add(l3d: Line3D, cfg: L3DConfig, args, prepared):
+    """Register all images: detect the first one inline to size the
+    segment-axis bucket (scene.stable_segment_bucket), pre-compile the TPU
+    programs for THAT bucket while the remaining detections run on the
+    host thread pool, then add the rest.
+
+    The reference detects strictly sequentially (line3D.cc:95-217); here
+    the first detection doubles as the shape probe — images of one dataset
+    share resolution and texture statistics, so 2x its segment count is a
+    reliable bucket bound (an underestimate only costs the warmup: the
+    real program compiles at compute time instead)."""
+    if not prepared:
+        return
+    if cfg.stable_shapes:
+        first = prepared[0]
+        l3d.add_image(first[0], first[1], first[2], first[3], first[4],
+                      first[5], max_img_width=args.max_image_width,
+                      load_and_store_segments=args.load_and_store_flag)
+        n0 = len(l3d._segments[-1])
+        est = min(cfg.max_num_segments, max(cfg.pad_multiple, 2 * n0))
+        l3d.warmup_async(len(prepared), est)
+        prepared = prepared[1:]
+    l3d.add_images_parallel(prepared,
+                            max_img_width=args.max_image_width,
+                            load_and_store_segments=args.load_and_store_flag,
+                            workers=args.detect_workers or None)
+
+
 def main_bundler(argv=None):
     ap = argparse.ArgumentParser("line3d-bundler")
     ap.add_argument("-i", "--input_folder", required=True,
@@ -146,13 +174,7 @@ def main_bundler(argv=None):
         img_shape = img_io.image_size(ds.image_paths[i])
         K = img_io.make_K(ds.focal[i], img_shape[0], img_shape[1])
         prepared.append((i, loader(i), K, ds.R[i], ds.t[i], ds.wp_lists[i]))
-    if cfg.stable_shapes:
-        # pre-compile the TPU programs while detection runs on the host
-        l3d.warmup_async(len(prepared))
-    l3d.add_images_parallel(prepared,
-                            max_img_width=args.max_image_width,
-                            load_and_store_segments=args.load_and_store_flag,
-                            workers=args.detect_workers or None)
+    _warmup_and_add(l3d, cfg, args, prepared)
     _finish(l3d, args, output_folder)
 
 
@@ -192,13 +214,7 @@ def main_vsfm(argv=None):
         K = img_io.make_K(ds.focal[i], w, h)
         prepared.append((i, loader(i, path), K, ds.R[i], ds.t[i],
                          ds.wp_lists[i]))
-    if cfg.stable_shapes:
-        # pre-compile the TPU programs while detection runs on the host
-        l3d.warmup_async(len(prepared))
-    l3d.add_images_parallel(prepared,
-                            max_img_width=args.max_image_width,
-                            load_and_store_segments=args.load_and_store_flag,
-                            workers=args.detect_workers or None)
+    _warmup_and_add(l3d, cfg, args, prepared)
     _finish(l3d, args, output_folder)
 
 

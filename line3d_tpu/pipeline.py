@@ -210,13 +210,17 @@ class Line3D:
         calls with the same shapes (jit cache).
         """
         cfg = self.config
-        from .scene import pad_to
+        from .scene import pad_to, stable_segment_bucket
         if max_segments is None:
             if not cfg.stable_shapes:
                 raise ValueError(
                     "warmup_async needs config.stable_shapes=True (or an "
                     "explicit max_segments) to know the padded shapes")
             max_segments = cfg.max_num_segments
+        # same bucketing as Scene.from_ragged so the warmed executable is
+        # the one the real scene will use
+        if cfg.stable_shapes:
+            max_segments = stable_segment_bucket(max_segments, cfg)
         S = pad_to(max_segments, cfg.pad_multiple)
         from .parallel import mesh as mesh_mod
         Vp = mesh_mod.pad_views_to_mesh(

@@ -15,6 +15,24 @@ from .config import L3DConfig, DEFAULT_CONFIG
 from .core.cameras import CameraSet
 
 
+def stable_segment_bucket(n: int, config) -> int:
+    """Padded segment-axis size under stable shapes: the smallest of
+    {cap/4, cap/2, cap} (cap = config.max_num_segments) that holds n.
+
+    One fixed size (the old behavior: always cap) makes every scene pay
+    the 3072^2 pair grids even when images carry a few hundred segments;
+    three buckets keep executables reusable across scenes of similar
+    density while the device work tracks the scene.  Scenes beyond cap
+    (library users bypassing the detector cap) keep their actual size.
+    """
+    cap = config.max_num_segments
+    for div in (4, 2, 1):
+        b = pad_to(-(-cap // div), config.pad_multiple)
+        if n <= b:
+            return b
+    return n
+
+
 def pad_to(n: int, multiple: int) -> int:
     return max(multiple, ((n + multiple - 1) // multiple) * multiple)
 
@@ -59,7 +77,7 @@ class Scene:
         counts = np.array([len(s) for s in segment_lists], np.int32)
         S = int(counts.max()) if V else 1
         if config.stable_shapes:
-            S = max(S, config.max_num_segments)
+            S = stable_segment_bucket(S, config)
         S = pad_to(S, config.pad_multiple)
         segs = np.zeros((V, S, 4), np.float32)
         mask = np.zeros((V, S), bool)

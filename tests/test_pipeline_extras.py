@@ -134,10 +134,10 @@ def test_thousand_views_scale():
     _run_scale(1000)
 
 
-def _run_scene(syn, cfg, warmup=False):
+def _run_scene(syn, cfg, warmup=False, warmup_estimate=None):
     l3d = Line3D(config=cfg)
     if warmup:
-        l3d.warmup_async(syn.scene.num_views)
+        l3d.warmup_async(syn.scene.num_views, warmup_estimate)
     for v in range(syn.scene.num_views):
         l3d.add_view_segments(
             v, syn.scene.segments[v][syn.scene.seg_mask[v]],
@@ -149,23 +149,57 @@ def _run_scene(syn, cfg, warmup=False):
 
 
 def test_stable_shapes_equivalence():
-    """stable_shapes pads the segment/neighbor axes to the configured caps;
-    results must be identical to the tight-shape run, and warmup_async must
+    """stable_shapes pads the segment axis to a shape bucket (smallest of
+    cap/4, cap/2, cap holding the scene); results must be identical to the
+    tight-shape run, and warmup_async with a size estimate must
     pre-compile the very executables the real run then uses."""
     syn = make_scene(num_views=6)
     # max_matches_per_segment is pinned at or below either run's S: the
     # capacity min(max_matches_per_segment, S) otherwise DIFFERS between
     # tight and padded shapes (the tight run truncates more, a legitimate
     # capacity effect, not a padding bug)
-    base_cfg = L3DConfig(max_num_segments=40, pad_multiple=16,
+    base_cfg = L3DConfig(max_num_segments=160, pad_multiple=16,
                          matching_neighbors=4, max_matches_per_segment=16)
-    stable_cfg = L3DConfig(max_num_segments=40, pad_multiple=16,
+    stable_cfg = L3DConfig(max_num_segments=160, pad_multiple=16,
                            matching_neighbors=4, max_matches_per_segment=16,
                            stable_shapes=True)
     _, res_a = _run_scene(syn, base_cfg)
-    l3d_b, res_b = _run_scene(syn, stable_cfg, warmup=True)
-    assert l3d_b.scene.max_segments == 48          # pad_to(40, 16)
+    l3d_b, res_b = _run_scene(syn, stable_cfg, warmup=True,
+                              warmup_estimate=40)
+    assert l3d_b.scene.max_segments == 48    # bucket: pad_to(160/4, 16)
     assert len(res_a) == len(res_b)
     for a, b in zip(sorted(res_a, key=lambda r: tuple(r.segments3d.ravel())),
                     sorted(res_b, key=lambda r: tuple(r.segments3d.ravel()))):
         np.testing.assert_allclose(a.segments3d, b.segments3d, atol=1e-5)
+
+
+def test_stable_segment_buckets():
+    """Under stable shapes the segment axis snaps to the smallest of
+    {cap/4, cap/2, cap} that holds the scene (executable reuse without
+    full-cap padding waste on sparse scenes)."""
+    from line3d_tpu.scene import Scene, stable_segment_bucket
+    from line3d_tpu.config import L3DConfig
+    from line3d_tpu.core.cameras import CameraSet
+
+    cfg = L3DConfig(stable_shapes=True)
+    assert stable_segment_bucket(20, cfg) == 768
+    assert stable_segment_bucket(768, cfg) == 768
+    assert stable_segment_bucket(769, cfg) == 1536
+    assert stable_segment_bucket(2000, cfg) == 3072
+    assert stable_segment_bucket(3000, cfg) == 3072
+    assert stable_segment_bucket(5000, cfg) == 5000  # beyond cap: actual
+
+    V = 4
+    K = np.tile(np.array([[100., 0, 50], [0, 100., 50], [0, 0, 1]]),
+                (V, 1, 1))
+    cams = CameraSet(K=K, R=np.tile(np.eye(3), (V, 1, 1)),
+                     t=np.random.RandomState(0).randn(V, 3),
+                     width=np.full(V, 100), height=np.full(V, 100),
+                     uncertainty_lower_px=1.0, uncertainty_upper_px=5.0)
+    segs = [np.random.RandomState(v).rand(30, 4).astype(np.float32)
+            for v in range(V)]
+    sc = Scene.from_ragged(segs, cams, wp_lists=[[0]] * V, config=cfg)
+    assert sc.max_segments == 768
+    sc2 = Scene.from_ragged(segs, cams, wp_lists=[[0]] * V,
+                            config=L3DConfig(stable_shapes=False))
+    assert sc2.max_segments == 128
