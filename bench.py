@@ -22,6 +22,8 @@ GPU (16x16 blocks over a 3000x3000 grid, a few hundred flops per pair).
 """
 import json
 import os
+import sys
+import threading
 import time
 
 import numpy as np
@@ -36,8 +38,30 @@ enable_persistent_cache()
 NOMINAL_BASELINE_PAIRS_PER_SEC = 1.0e9
 LOOP_N = 16
 
+# Tunnel-outage watchdog: the axon PJRT connect can block forever with no
+# error when the relay is down (observed 2026-08-18, ~2h).  A healthy bench
+# finishes in well under 5 min warm and ~4 min on a cold remote compile;
+# if we are still running after the deadline, the tunnel is gone — exit
+# non-zero instead of stalling the driver indefinitely.
+BENCH_DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", 1200))
+
+
+def _arm_watchdog(seconds):
+    def _trip():
+        sys.stderr.write(
+            f"[bench] watchdog: no result after {seconds:.0f}s — TPU "
+            "tunnel unreachable (PJRT connect blocks without error when "
+            "the axon relay is down); aborting\n")
+        sys.stderr.flush()
+        os._exit(2)
+    t = threading.Timer(seconds, _trip)
+    t.daemon = True
+    t.start()
+    return t
+
 
 def main():
+    watchdog = _arm_watchdog(BENCH_DEADLINE_S)
     import jax
     import jax.numpy as jnp
     from line3d_tpu.config import L3DConfig
@@ -106,6 +130,7 @@ def main():
     per_iter = min(times) / LOOP_N
     pairs = N * S * S
     rate = pairs / per_iter
+    watchdog.cancel()
     print(json.dumps({
         "metric": "line_pair_affinities_per_sec_per_chip",
         "value": rate,
