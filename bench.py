@@ -47,6 +47,8 @@ BENCH_DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", 1200))
 
 
 def _arm_watchdog(seconds):
+    if seconds <= 0:          # BENCH_DEADLINE_S=0 disables the watchdog
+        return threading.Timer(0, lambda: None)  # inert, cancel()-able
     def _trip():
         sys.stderr.write(
             f"[bench] watchdog: no result after {seconds:.0f}s — TPU "

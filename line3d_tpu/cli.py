@@ -116,18 +116,18 @@ def _warmup_and_add(l3d: Line3D, cfg: L3DConfig, args, prepared):
     The reference detects strictly sequentially (line3D.cc:95-217); here
     the first detection doubles as the shape probe — images of one dataset
     share resolution and texture statistics, so 2x its segment count is a
-    reliable bucket bound (an underestimate only costs the warmup: the
-    real program compiles at compute time instead)."""
+    reliable bucket bound.  An overshoot still reuses the warmed bucket
+    (scene building prefers a warm executable over a tighter cold one); an
+    undershoot only costs the warmup — the bigger program compiles at
+    compute time instead."""
     if not prepared:
         return
     if cfg.stable_shapes:
         first = prepared[0]
-        l3d.add_image(first[0], first[1], first[2], first[3], first[4],
-                      first[5], max_img_width=args.max_image_width,
-                      load_and_store_segments=args.load_and_store_flag)
-        n0 = len(l3d._segments[-1])
-        est = min(cfg.max_num_segments, max(cfg.pad_multiple, 2 * n0))
-        l3d.warmup_async(len(prepared), est)
+        n0 = l3d.add_image(first[0], first[1], first[2], first[3], first[4],
+                           first[5], max_img_width=args.max_image_width,
+                           load_and_store_segments=args.load_and_store_flag)
+        l3d.warmup_async(len(prepared), min(cfg.max_num_segments, 2 * n0))
         prepared = prepared[1:]
     l3d.add_images_parallel(prepared,
                             max_img_width=args.max_image_width,

@@ -97,15 +97,19 @@ class L3DConfig:
     # masked inactive (view_active) and cost only execution time
     # (~0.1 s/view at production shape).
     view_pad_multiple: int = 8
-    # Fully shape-stable device programs: pad the segment axis to
-    # max_num_segments and the neighbor axis to matching_neighbors
-    # regardless of the scene's actual counts.  Every scene then compiles
-    # the SAME matching/collinearity executables, which (a) lets
-    # Line3D.warmup_async pre-compile them concurrently with host-side
-    # detection before the real segment counts are known, and (b) makes
-    # executable caching effective across runs.  Costs execution time
-    # proportional to the padding (S^2 in the pair stage), so it is off by
-    # default for the library and enabled by the CLI.
+    # Shape-stable device programs: snap the segment axis to one of three
+    # buckets — the smallest of {cap/4, cap/2, cap} that holds the scene
+    # (scene.stable_segment_bucket; cap = max_num_segments) — and pad the
+    # neighbor axis to matching_neighbors regardless of the scene's actual
+    # counts.  Scenes of similar density then compile the SAME
+    # matching/collinearity executables, which (a) lets Line3D.warmup_async
+    # pre-compile them concurrently with host-side detection from a rough
+    # segment-count estimate (scene building prefers an already-warm bucket
+    # over a tighter cold one), and (b) makes executable caching effective
+    # across runs, while sparse scenes avoid the full cap^2 pair grids.
+    # Still costs execution time proportional to the in-bucket padding
+    # (S^2 in the pair stage), so it is off by default for the library and
+    # enabled by the CLI.
     stable_shapes: bool = False
 
     def __post_init__(self):

@@ -287,9 +287,11 @@ def warmup_matching_sharded(num_views: int, max_segments: int,
                             config: L3DConfig, mesh=None):
     """Dispatch the sharded matching program on dummy inputs with the
     shapes a real `num_views`-view scene will use (requires
-    config.stable_shapes so the segment/neighbor axes are scene-
-    independent).  Returns the lazy output buffer; keep it referenced
-    until the real run has been dispatched.
+    config.stable_shapes so the segment axis snaps to a shape bucket and
+    the neighbor axis is scene-independent; `max_segments` must already be
+    the bucketed size — Line3D.warmup_async does this).  Returns the lazy
+    output buffer; keep it referenced until the real run has been
+    dispatched.
 
     The TPU service compiles/loads each new executable on first execution
     — tens of seconds for the scene-scale program — so the CLI calls this

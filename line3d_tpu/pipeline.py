@@ -65,6 +65,12 @@ class Line3D:
         self.neighbors = None
         self.stats = {}
         self._warmup_refs = []
+        # segment-axis sizes whose device executables are warm in this
+        # process (warmed up or already run): scene building prefers the
+        # smallest of these that holds the data over a tighter-but-cold
+        # bucket — a fresh scene-scale compile (40-160 s through the
+        # tunnel) costs far more than the padding's extra execution time.
+        self._ready_buckets: set[int] = set()
 
     def num_cameras(self) -> int:
         return len(self._images)
@@ -77,7 +83,9 @@ class Line3D:
         view (addImage, line3D.cc:95-217).
 
         `image` may be an HxW(x3) array, or None if segments are supplied via
-        `add_view_segments` / the cache.
+        `add_view_segments` / the cache.  Returns the number of segments
+        registered for the view (the CLI sizes the warmup bucket from the
+        first image's count).
         """
         if image_id in self._images:
             raise ValueError(f"image id {image_id} already in use")
@@ -94,6 +102,7 @@ class Line3D:
         self.stats["t_detect"] = self.stats.get("t_detect", 0.0) + dt
         self.add_view_segments(image_id, segs, K, R, t, worldpoint_ids,
                                width=w, height=h)
+        return int(np.asarray(segs).reshape(-1, 4).shape[0])
 
     def _segments_for_image(self, image_id: int, image, max_w: int,
                             store: bool):
@@ -206,8 +215,15 @@ class Line3D:
         parsing the dataset, before image loading/detection.
 
         Requires config.stable_shapes (or an explicit `max_segments`) so
-        the warmed shapes match the eventual real scene.  No-op on repeat
-        calls with the same shapes (jit cache).
+        the warmed shapes match the eventual real scene.  Under
+        stable_shapes `max_segments` is an *estimate*: it snaps to a shape
+        bucket (scene.stable_segment_bucket), and scene building later
+        prefers this warmed bucket over a tighter cold one whenever it
+        holds the real data — an overshoot therefore reuses the warmed
+        executable, while an undershoot only costs the warmup (the bigger
+        program compiles at compute time instead).  With no estimate the
+        top bucket (the segment cap) is warmed, which any scene can use.
+        No-op on repeat calls with the same shapes (jit cache).
         """
         cfg = self.config
         from .scene import pad_to, stable_segment_bucket
@@ -222,6 +238,7 @@ class Line3D:
         if cfg.stable_shapes:
             max_segments = stable_segment_bucket(max_segments, cfg)
         S = pad_to(max_segments, cfg.pad_multiple)
+        self._ready_buckets.add(S)
         from .parallel import mesh as mesh_mod
         Vp = mesh_mod.pad_views_to_mesh(
             max(num_views, 4), mesh_mod.make_view_mesh(),
@@ -252,10 +269,27 @@ class Line3D:
             uncertainty_lower_px=self.config.uncertainty_lower_px,
             uncertainty_upper_px=self.config.uncertainty_upper_px)
         collin = None
+        axis = self._preferred_segment_axis()
         scene = Scene.from_ragged(self._segments, cams,
                                   wp_lists=self._wp_lists, collin=collin,
-                                  config=self.config)
+                                  config=self.config, segment_axis=axis)
         self.scene, self.cameras = scene, cams
+        self._ready_buckets.add(scene.max_segments)
+
+    def _preferred_segment_axis(self) -> int | None:
+        """Smallest already-warm segment-axis size that holds the data, if
+        it beats the scene's natural bucket — reusing a warmed (or
+        previously run) executable is cheaper than a fresh scene-scale
+        compile even when its shape is a bucket wider."""
+        if not self.config.stable_shapes or not self._ready_buckets:
+            return None
+        from .scene import stable_segment_bucket
+        need = max((len(s) for s in self._segments), default=1)
+        natural = stable_segment_bucket(need, self.config)
+        if natural in self._ready_buckets:
+            return None                      # natural choice is warm
+        ready = [b for b in self._ready_buckets if b >= need]
+        return min(ready) if ready else None
 
     def _view_similarities(self):
         V = len(self._images)

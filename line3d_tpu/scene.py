@@ -71,12 +71,19 @@ class Scene:
     @staticmethod
     def from_ragged(segment_lists: list, cameras: CameraSet,
                     wp_lists=None, collin=None,
-                    config: L3DConfig = DEFAULT_CONFIG) -> "Scene":
-        """Build a padded Scene from per-view [S_v, 4] segment arrays."""
+                    config: L3DConfig = DEFAULT_CONFIG,
+                    segment_axis: int | None = None) -> "Scene":
+        """Build a padded Scene from per-view [S_v, 4] segment arrays.
+
+        `segment_axis` overrides the bucket choice when it holds the data —
+        the pipeline passes an already-warm bucket here so a scene never
+        pays a fresh device compile just to use a tighter shape."""
         V = len(segment_lists)
         counts = np.array([len(s) for s in segment_lists], np.int32)
         S = int(counts.max()) if V else 1
-        if config.stable_shapes:
+        if segment_axis is not None and segment_axis >= S:
+            S = segment_axis
+        elif config.stable_shapes:
             S = stable_segment_bucket(S, config)
         S = pad_to(S, config.pad_multiple)
         segs = np.zeros((V, S, 4), np.float32)

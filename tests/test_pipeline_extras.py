@@ -203,3 +203,52 @@ def test_stable_segment_buckets():
     sc2 = Scene.from_ragged(segs, cams, wp_lists=[[0]] * V,
                             config=L3DConfig(stable_shapes=False))
     assert sc2.max_segments == 128
+
+
+def test_warmed_bucket_preference():
+    """Scene building under stable_shapes prefers an already-warm segment
+    bucket over a tighter cold one (a scene-scale compile costs far more
+    than in-bucket padding), but never a warm bucket that cannot hold the
+    data, and never widens past the natural bucket when that one is warm."""
+    syn = make_scene(num_views=6)
+    cfg = L3DConfig(max_num_segments=640, pad_multiple=16,
+                    stable_shapes=True)
+
+    def fresh():
+        l3d = Line3D(config=cfg)
+        for v in range(syn.scene.num_views):
+            l3d.add_view_segments(
+                v, syn.scene.segments[v][syn.scene.seg_mask[v]],
+                syn.cameras.K[v].copy(), syn.cameras.R[v].copy(),
+                syn.cameras.t[v].copy(), worldpoint_ids=syn.wp_lists[v],
+                width=640, height=480)
+        return l3d
+
+    need = max(int(m.sum()) for m in syn.scene.seg_mask)
+    assert need <= 160  # the synthetic house fits the smallest bucket
+
+    l3d = fresh()                       # no warmup: natural bucket
+    l3d._build_scene()
+    assert l3d.scene.max_segments == 160
+    assert 160 in l3d._ready_buckets    # recorded for later scenes
+
+    l3d = fresh()                       # overshot warmup: reuse its bucket
+    l3d._ready_buckets.add(320)
+    l3d._build_scene()
+    assert l3d.scene.max_segments == 320
+
+    l3d = fresh()                       # natural bucket itself is warm
+    l3d._ready_buckets.update({160, 320})
+    l3d._build_scene()
+    assert l3d.scene.max_segments == 160
+
+    l3d = fresh()                       # warm size holding the data is used
+    l3d._ready_buckets.add(16)          # (pipeline records any run size)
+    l3d._build_scene()
+    assert l3d.scene.max_segments == (16 if need <= 16 else 160)
+
+    l3d = fresh()                       # warm bucket too small for the data
+    assert need > 4
+    l3d._ready_buckets.add(4)
+    l3d._build_scene()
+    assert l3d.scene.max_segments == 160
