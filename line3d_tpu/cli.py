@@ -58,9 +58,13 @@ def _add_common_flags(ap: argparse.ArgumentParser):
                          "(0 = auto; the reference detects sequentially)")
     ap.add_argument("--stable_shapes", type=lambda s: s.lower() != "false",
                     default=True,
-                    help="pad device-program shapes to the configured caps "
-                         "so TPU executables pre-compile during detection "
-                         "and are reusable across scenes (default true)")
+                    help="snap device-program shapes to buckets so TPU "
+                         "executables pre-compile during detection and are "
+                         "reusable across scenes (default true)")
+    ap.add_argument("--profile_dir", default="",
+                    help="capture a jax.profiler trace of the device "
+                         "pipeline into this directory (view with "
+                         "tensorboard/xprof; works through the TPU tunnel)")
 
 
 def _config_from_args(args) -> L3DConfig:
@@ -96,7 +100,14 @@ def _result_stem(args) -> str:
 
 
 def _finish(l3d: Line3D, args, output_folder: str):
-    result = l3d.compute_3d_model(perform_diffusion=args.diffusion)
+    import contextlib
+    if getattr(args, "profile_dir", ""):
+        import jax
+        trace = jax.profiler.trace(args.profile_dir)
+    else:
+        trace = contextlib.nullcontext()
+    with trace:
+        result = l3d.compute_3d_model(perform_diffusion=args.diffusion)
     stem = os.path.join(output_folder, _result_stem(args))
     l3d.save_3d_lines_as_stl(result, stem + ".stl")
     l3d.save_3d_lines_as_txt(result, stem + ".txt")

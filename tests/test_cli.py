@@ -96,8 +96,12 @@ def test_cli_bundler_end_to_end(tmp_path):
     assert len(caches) == 8
 
     # re-run must reuse caches and succeed (determinism-by-caching,
-    # SURVEY.md §4)
+    # SURVEY.md §4); also captures a device-pipeline profile (--profile_dir,
+    # our observability extension — the reference has no tracing, SURVEY §5)
+    prof = str(tmp_path / "profile")
     cli.main(["bundler", "-i", root, "-w", "640", "-n", "6",
-              "--stable_shapes", "false"])
+              "--stable_shapes", "false", "--profile_dir", prof])
     parsed2 = writers.load_txt(txts[0])
     assert len(parsed2) == len(parsed)
+    assert glob.glob(os.path.join(prof, "**", "*.xplane.pb"),
+                     recursive=True), "no profiler trace captured"
