@@ -5,18 +5,21 @@ line3D.cc:968-1221) including its order-dependent `used` deduplication:
 
 For each source segment src with a best match (ascending (view, seg) order):
   A) every potential correspondent tgt (ascending order): if the unordered
-     pair is unseen, mark it seen; if tgt also has a best match, the edge
-     weight is w = 0.5 (score_src + score_tgt) * sim3D, kept if w > 0.25
+     pair was already seen, skip it ENTIRELY (including step B); else mark
+     it seen; if tgt also has a best match, the edge weight is
+     w = 0.5 (score_src + score_tgt) * sim3D, kept if w > 0.25
      (L3D_MIN_AFFINITY).
-  B) for each A-candidate with a best match: its collinear partners tgtc
-     (same view as tgt): unseen-pair gate, weight as in A (no collinearity
-     factor), kept if w > 0.01.
+  B) only when the A pair was fresh and tgt has a best match: tgt's
+     collinear partners tgtc (same view as tgt): unseen-pair gate, weight
+     as in A (no collinearity factor), kept if w > 0.01.
   C) src's own collinear partners (same view): unseen-pair gate, weight
      multiplied by the collinearity score, kept if w > 0.01.
 
-The pair is marked seen *before* the threshold test (line3D.cc:1001-1004),
-so a failed A-edge is never reconsidered as a C-edge — this ordering is
-semantic and preserved here.
+The pair is marked seen *before* the threshold test, and a seen A pair
+suppresses the target's whole collinear expansion (the `continue`,
+line3D.cc:1001-1004) — so a failed A-edge is never reconsidered as a
+C-edge, and B blocks of re-encountered targets never run.  Both behaviors
+are order-dependent and preserved here.
 
 The per-pair 3D similarity (similarity_coll3D, line3D.cc:1600-1681) is
 evaluated vectorized over all candidate pairs after enumeration.
@@ -284,17 +287,62 @@ def _build_affinity_graph_vec(best, allp, row_lookup, key_of, collin,
     kinds = np.concatenate([np.zeros(Na, np.int8), np.ones(NB, np.int8),
                             np.full(NC, 2, np.int8)])
     cws = np.concatenate([np.ones(Na + NB), cw_C.astype(np.float64)])
+    # parent linkage: each B entry points at its A entry — a B block only
+    # executes when its A pair was FRESH (the used-check `continue` skips
+    # the whole expansion, line3D.cc:1001-1004)
+    aid_own = np.concatenate([np.arange(Na), np.full(NB, -1, np.int64),
+                              np.full(NC, -1, np.int64)])
+    aid_parent = np.concatenate([np.full(Na, -1, np.int64), parent_B,
+                                 np.full(NC, -1, np.int64)])
 
     pos = np.lexsort((ordinal, srcrank))
     src_rows, tgt_keys = src_rows[pos], tgt_keys[pos]
     kinds, cws = kinds[pos], cws[pos]
+    aid_own, aid_parent = aid_own[pos], aid_parent[pos]
 
-    # --- order-dependent `used` dedup: first occurrence in stream order ---
+    # --- order-dependent `used` dedup --------------------------------------
+    # Sequential semantics: an entry is FRESH iff it executes and no
+    # earlier executing entry marked the same unordered pair; A/C entries
+    # always execute, a B entry executes iff its parent A entry was fresh.
+    # Every dependency points to a strictly earlier stream position, so
+    # forward chaotic iteration converges (one pass per dependency level;
+    # 2-3 in practice).
     src_keys = key_of[src_rows]
     amin = np.minimum(src_keys, tgt_keys)
     amax = np.maximum(src_keys, tgt_keys)
-    _, first = np.unique(amin * M + amax, return_index=True)
-    keep_idx = np.sort(first)
+    pair_key = amin * M + amax
+    n = len(pair_key)
+    pos_of_aid = np.full(Na, -1, np.int64)
+    own = np.nonzero(aid_own >= 0)[0]
+    pos_of_aid[aid_own[own]] = own
+    is_B = kinds == 1
+    parent_pos = pos_of_aid[aid_parent[is_B]]
+
+    grp = np.argsort(pair_key, kind="stable")    # (pair, stream pos) order
+    gkey = pair_key[grp]
+    new_group = np.empty(n, bool)
+    if n:
+        new_group[0] = True
+        new_group[1:] = gkey[1:] != gkey[:-1]
+    grp_id = np.cumsum(new_group) - 1
+    grp_first = np.nonzero(new_group)[0]
+
+    executes = np.ones(n, bool)
+    fresh = executes
+    for _ in range(n + 2):
+        ex_g = executes[grp]
+        c = np.cumsum(ex_g)
+        excl = c - ex_g - (c[grp_first] - ex_g[grp_first])[grp_id]
+        fresh_g = ex_g & (excl == 0)     # first executing entry of its pair
+        fresh = np.empty(n, bool)
+        fresh[grp] = fresh_g
+        new_exec = executes.copy()
+        new_exec[is_B] = fresh[parent_pos]
+        if np.array_equal(new_exec, executes):
+            break
+        executes = new_exec
+
+    keep_idx = np.nonzero(fresh)[0]
     src_rows, tgt_keys = src_rows[keep_idx], tgt_keys[keep_idx]
     kinds, cws = kinds[keep_idx], cws[keep_idx]
 
@@ -404,17 +452,21 @@ def build_affinity_graph(best: BestMatches, matches: list,
     cand_src, cand_tgt, cand_kind, cand_cw = [], [], [], []
 
     def consider(src_key, src_row, tgt_key, kind, cw=1.0):
+        """Mark the unordered pair used and append a candidate if tgt has a
+        best match.  Returns whether the pair was FRESH (unseen): a used
+        pair is skipped before any marking (line3D.cc:1001-1004), and in
+        the A loop the `continue` also skips the target's collinear
+        expansion — the caller gates the B block on this return value."""
         pair = (src_key, tgt_key) if src_key < tgt_key else (tgt_key, src_key)
         if pair in used:
             return False
         used.add(pair)
         trow = row_of.get(tgt_key)
-        if trow is None:
-            return False
-        cand_src.append(src_row)
-        cand_tgt.append(trow)
-        cand_kind.append(kind)
-        cand_cw.append(cw)
+        if trow is not None:
+            cand_src.append(src_row)
+            cand_tgt.append(trow)
+            cand_kind.append(kind)
+            cand_cw.append(cw)
         return True
 
     order = np.argsort(key_of, kind="stable")
@@ -423,10 +475,12 @@ def build_affinity_graph(best: BestMatches, matches: list,
         sview = int(best.view[r]); sseg = int(best.seg[r])
         for tgt_key in adj.get(src_key, ()):  # sorted ascending
             tgt_key = int(tgt_key)
-            consider(src_key, r, tgt_key, 0)
-            # B: collinear partners of tgt — only if tgt has a best match
-            # (nested inside the best_match_ check, line3D.cc:1007,1065)
-            if tgt_key in row_of:
+            fresh = consider(src_key, r, tgt_key, 0)
+            # B: collinear partners of tgt — only when the A pair was
+            # fresh (the used-check `continue` skips this whole block,
+            # line3D.cc:1001-1004) and tgt has a best match (the block is
+            # nested inside the best_match_ check, line3D.cc:1007,1065)
+            if fresh and tgt_key in row_of:
                 tview, tseg = divmod(tgt_key, S)
                 for cseg, _cw in collin_partners(tview, tseg):
                     consider(src_key, r, tview * S + int(cseg), 1)
