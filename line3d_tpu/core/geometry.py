@@ -14,6 +14,7 @@ Conventions:
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 EPS = 1e-12  # L3D_EPS_G (cudawrapper.h:43)
@@ -132,8 +133,14 @@ def segment_overlap_2d(src_p1, src_p2, q1, q2) -> jnp.ndarray:
 
 
 def apply_mat3(M: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
-    """[..., 3, 3] @ [..., 3] -> [..., 3] with broadcasting."""
-    return jnp.einsum("...ij,...j->...i", M, p)
+    """[..., 3, 3] @ [..., 3] -> [..., 3] with broadcasting.
+
+    HIGHEST precision: geometry einsums must not ride the MXU's default
+    bf16 truncation — viewing rays feed 3D endpoints whose reprojection
+    error is compared against sigma_p (a few pixels), and bf16 rays shift
+    reprojections by whole pixels at image scale."""
+    return jnp.einsum("...ij,...j->...i", M, p,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def epipolar_line(F: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
@@ -194,7 +201,8 @@ def project(P3: jnp.ndarray, Pmat: jnp.ndarray):
     """Project 3D point with [..., 3, 4] camera matrix; returns (pix, valid)
     with pix homogeneous z=1 (D_project_point_tgt, cudawrapper.cu:355-377)."""
     Ph = jnp.concatenate([P3, jnp.ones_like(P3[..., :1])], axis=-1)
-    q = jnp.einsum("...ij,...j->...i", Pmat, Ph)
+    q = jnp.einsum("...ij,...j->...i", Pmat, Ph,
+                   precision=jax.lax.Precision.HIGHEST)
     z = q[..., 2:3]
     valid = jnp.abs(z[..., 0]) > EPS
     safe = jnp.where(jnp.abs(z) > EPS, z, 1.0)

@@ -112,6 +112,35 @@ def _pad_neighbors(arrs, n_max):
     return out
 
 
+def _best_rows_f64(scene: Scene, cameras: CameraSet, v: int, bs, d1, d2,
+                   bconf, tgt_view, tgt_seg):
+    """Unproject one view's best matches in float64 and build the
+    BestMatches row dict (unprojectSegment, view.cc:302-342; shared by the
+    per-view and sharded engines so the parity-critical math has exactly
+    one implementation)."""
+    p1 = np.concatenate([scene.segments[v, bs, 0:2],
+                         np.ones((len(bs), 1), np.float32)], axis=1)
+    p2 = np.concatenate([scene.segments[v, bs, 2:4],
+                         np.ones((len(bs), 1), np.float32)], axis=1)
+    r1 = (cameras.RtKinv[v] @ p1.astype(np.float64).T).T
+    r1 /= np.linalg.norm(r1, axis=1, keepdims=True)
+    r2 = (cameras.RtKinv[v] @ p2.astype(np.float64).T).T
+    r2 /= np.linalg.norm(r2, axis=1, keepdims=True)
+    P1 = cameras.C[v] + r1 * np.asarray(d1, np.float64)[:, None]
+    P2 = cameras.C[v] + r2 * np.asarray(d2, np.float64)[:, None]
+    dirv = P2 - P1
+    nrm = np.linalg.norm(dirv, axis=1, keepdims=True)
+    dirv = np.divide(dirv, nrm, out=np.zeros_like(dirv), where=nrm > 0)
+    return dict(view=np.full(len(bs), v, np.int32),
+                seg=np.asarray(bs, np.int32),
+                tgt_view=np.asarray(tgt_view, np.int32),
+                tgt_seg=np.asarray(tgt_seg, np.int32),
+                score=np.asarray(bconf, np.float32),
+                P1=P1, P2=P2, dir=dirv,
+                d1=np.asarray(d1, np.float32),
+                d2=np.asarray(d2, np.float32))
+
+
 def run_matching(scene: Scene, cameras: CameraSet, neighbors: list,
                  config: L3DConfig, verbose: bool = False):
     """Match + verify every view against its visual neighbors.
@@ -197,31 +226,10 @@ def run_matching(scene: Scene, cameras: CameraSet, neighbors: list,
         if len(bs):
             bm = barg[bs]
             bconf = np.minimum(conf[bs, bm] / config.confidence_norm, 1.0)
-            d1 = depths[bs, bm, 0]
-            d2 = depths[bs, bm, 1]
-            # unproject in float64 (unprojectSegment, view.cc:302-342)
-            p1 = np.concatenate([scene.segments[v, bs, 0:2],
-                                 np.ones((len(bs), 1), np.float32)], axis=1)
-            p2 = np.concatenate([scene.segments[v, bs, 2:4],
-                                 np.ones((len(bs), 1), np.float32)], axis=1)
-            r1 = (cameras.RtKinv[v] @ p1.astype(np.float64).T).T
-            r1 /= np.linalg.norm(r1, axis=1, keepdims=True)
-            r2 = (cameras.RtKinv[v] @ p2.astype(np.float64).T).T
-            r2 /= np.linalg.norm(r2, axis=1, keepdims=True)
-            P1 = cameras.C[v] + r1 * d1[:, None].astype(np.float64)
-            P2 = cameras.C[v] + r2 * d2[:, None].astype(np.float64)
-            dirv = P2 - P1
-            nrm = np.linalg.norm(dirv, axis=1, keepdims=True)
-            dirv = np.divide(dirv, nrm, out=np.zeros_like(dirv),
-                             where=nrm > 0)
-            best_rows.append(dict(
-                view=np.full(len(bs), v, np.int32),
-                seg=bs.astype(np.int32),
-                tgt_view=nb[cam[bs, bm]].astype(np.int32),
-                tgt_seg=tgt[bs, bm].astype(np.int32),
-                score=bconf.astype(np.float32),
-                P1=P1, P2=P2, dir=dirv,
-                d1=d1, d2=d2))
+            best_rows.append(_best_rows_f64(
+                scene, cameras, v, bs,
+                depths[bs, bm, 0], depths[bs, bm, 1], bconf,
+                nb[cam[bs, bm]], tgt[bs, bm]))
 
         if verbose:
             print(f"[L3D] view {v}: {len(si)} verified matches, "
@@ -360,32 +368,13 @@ def finalize_matching_sharded(buf, ctx, scene: Scene, cameras: CameraSet,
 
         bs = np.nonzero(out["best_has"][v])[0]
         if len(bs):
-            d1 = out["best_depths"][v][bs, 0]
-            d2 = out["best_depths"][v][bs, 1]
             bconf = np.minimum(out["best_conf"][v][bs] /
                                config.confidence_norm, 1.0)
-            p1 = np.concatenate([scene.segments[v, bs, 0:2],
-                                 np.ones((len(bs), 1), np.float32)], axis=1)
-            p2 = np.concatenate([scene.segments[v, bs, 2:4],
-                                 np.ones((len(bs), 1), np.float32)], axis=1)
-            r1 = (cameras.RtKinv[v] @ p1.astype(np.float64).T).T
-            r1 /= np.linalg.norm(r1, axis=1, keepdims=True)
-            r2 = (cameras.RtKinv[v] @ p2.astype(np.float64).T).T
-            r2 /= np.linalg.norm(r2, axis=1, keepdims=True)
-            P1 = cameras.C[v] + r1 * d1[:, None].astype(np.float64)
-            P2 = cameras.C[v] + r2 * d2[:, None].astype(np.float64)
-            dirv = P2 - P1
-            nrm = np.linalg.norm(dirv, axis=1, keepdims=True)
-            dirv = np.divide(dirv, nrm, out=np.zeros_like(dirv),
-                             where=nrm > 0)
-            best_rows.append(dict(
-                view=np.full(len(bs), v, np.int32),
-                seg=bs.astype(np.int32),
-                tgt_view=nb_ids[v][out["best_cam"][v][bs]].astype(np.int32),
-                tgt_seg=out["best_tgt"][v][bs].astype(np.int32),
-                score=bconf.astype(np.float32),
-                P1=P1, P2=P2, dir=dirv,
-                d1=d1.astype(np.float32), d2=d2.astype(np.float32)))
+            best_rows.append(_best_rows_f64(
+                scene, cameras, v, bs,
+                out["best_depths"][v][bs, 0], out["best_depths"][v][bs, 1],
+                bconf, nb_ids[v][out["best_cam"][v][bs]],
+                out["best_tgt"][v][bs]))
         if verbose:
             print(f"[L3D] view {v}: {len(src)} verified matches "
                   f"(sharded), median_depth={median_depths[v]:.4f}")

@@ -24,7 +24,7 @@ import functools
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from ..config import L3DConfig
 from ..core.cameras import CameraSet
@@ -60,11 +60,15 @@ def unpack_export(packed: np.ndarray, max_segments: int, n_slots: int):
 
 def _single_view_step(segments, seg_mask, args, quota, m_total, row_chunk,
                       conf_t, sigma_p, sigma_a, k_export):
-    (segs_src, mask_src, RtKinv_src, C_src,
+    (view_idx, RtKinv_src, C_src,
      nb_ids, F_nb, RtKinv_nb, C_nb, P_nb, nb_mask,
      spatial_k, view_active) = args
 
-    # device-side neighbor gather from the replicated segment tensor
+    # device-side gathers from the replicated segment tensor — the view's
+    # own segments ride a [Vp] index instead of a second (sharded) copy of
+    # the scene's largest tensor, halving the host->device upload
+    segs_src = segments[view_idx]                     # [S, 4]
+    mask_src = seg_mask[view_idx]
     nb_clip = jnp.maximum(nb_ids, 0)
     segs_nb = segments[nb_clip]                       # [N, S, 4]
     mask_nb = seg_mask[nb_clip] & (nb_ids >= 0)[:, None]
@@ -127,6 +131,12 @@ def _single_view_step(segments, seg_mask, args, quota, m_total, row_chunk,
     packed = ((exp_src << (cbits + sbits)) | (exp_cam << sbits) | exp_tgt)
     n_verified = jnp.sum(flat_keep)
 
+    # capacity diagnostics: per-block quota drops + matches dropped when a
+    # source segment's kept count exceeds the merge capacity m_total
+    # (mirrors the per-view engine, engine.py _match_and_score_view) +
+    # export-cap drops
+    n_kept = jnp.sum(res["valid"], axis=(0, 2))       # per src seg
+    merge_drop = jnp.sum(jnp.maximum(n_kept - cam.shape[1], 0))
     return dict(best_conf=best_conf, best_cam=best_cam,
                 best_tgt=best_tgt, best_has=best_has,
                 best_depths=best_d[:, :2],
@@ -134,7 +144,7 @@ def _single_view_step(segments, seg_mask, args, quota, m_total, row_chunk,
                 median_has=nh > 0,
                 exp_packed=jnp.where(exp_valid, packed, -1),
                 n_verified=n_verified,
-                overflow=res["overflow"].sum() +
+                overflow=res["overflow"].sum() + merge_drop +
                 jnp.maximum(jnp.sum(flat_keep) - k_export, 0))
 
 
@@ -196,47 +206,57 @@ def sharded_match_all_views(segments, seg_mask, stacks,
     axis.  Vp must be a multiple of the mesh size.  With packed=True the
     result is one [Vp, D] f32 array (see _pack_view_outputs) instead of the
     dict — the engine's transfer-friendly form.
+
+    The view loop runs as a per-shard jax.lax.map INSIDE shard_map: each
+    device scans only its own Vp/n views against the replicated segment
+    tensor (zero communication).  A bare lax.map over the sharded axis
+    would NOT partition — XLA cannot split a scan over its scanned
+    dimension, so every device would execute all Vp steps on gathered
+    data and multi-chip scaling would be silently zero.
     """
-    repl = NamedSharding(mesh, P())
-    segments = jax.lax.with_sharding_constraint(segments, repl)
-    seg_mask = jax.lax.with_sharding_constraint(seg_mask, repl)
-    sharded = {k: jax.lax.with_sharding_constraint(
-        v, NamedSharding(mesh, P(axis, *([None] * (v.ndim - 1)))))
-        for k, v in stacks.items()}
+    from jax import shard_map
 
-    def per_view(args):
-        ordered = (args["segs"], args["mask"], args["RtKinv"], args["C"],
-                   args["nb_ids"], args["F_nb"], args["RtKinv_nb"],
-                   args["C_nb"], args["P_nb"], args["nb_mask"],
-                   args["spatial_k"], args["view_active"])
+    spec_of = lambda v: P(axis, *([None] * (v.ndim - 1)))
+    stack_specs = {k: spec_of(v) for k, v in stacks.items()}
 
-        def live(_):
-            o = _single_view_step(segments, seg_mask, ordered,
-                                  quota, m_total, row_chunk,
-                                  conf_t, sigma_p, sigma_a, k_export)
-            if packed:
-                return _pack_view_outputs(o, k_export)
-            return o
+    def local_views(segments, seg_mask, stacks_l, sigma_p, sigma_a, conf_t):
+        def per_view(args):
+            ordered = (args["view_idx"], args["RtKinv"], args["C"],
+                       args["nb_ids"], args["F_nb"], args["RtKinv_nb"],
+                       args["C_nb"], args["P_nb"], args["nb_mask"],
+                       args["spatial_k"], args["view_active"])
 
-        # inactive views (padding slots and views without visual neighbors)
-        # are skipped entirely — their outputs are never read by
-        # engine.finalize_matching_sharded, so the dead branch returns
-        # zeros.  Keeps the executable shape-stable (view_active is a
-        # runtime array) while saving the full per-view step for padded
-        # slots (view_pad_multiple rounds 12 real views up to 16).
-        def dead(_):
-            shapes = jax.eval_shape(live, 0)
-            return jax.tree_util.tree_map(
-                lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+            def live(_):
+                o = _single_view_step(segments, seg_mask, ordered,
+                                      quota, m_total, row_chunk,
+                                      conf_t, sigma_p, sigma_a, k_export)
+                if packed:
+                    return _pack_view_outputs(o, k_export)
+                return o
 
-        return jax.lax.cond(args["view_active"], live, dead, 0)
+            # inactive views (padding slots and views without visual
+            # neighbors) are skipped entirely — their outputs are never
+            # read by engine.finalize_matching_sharded, so the dead branch
+            # returns zeros.  Keeps the executable shape-stable
+            # (view_active is a runtime array) while saving the full
+            # per-view step for padded slots.
+            def dead(_):
+                shapes = jax.eval_shape(live, 0)
+                return jax.tree_util.tree_map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
-    out = jax.lax.map(per_view, sharded)
-    shard = lambda v: jax.lax.with_sharding_constraint(
-        v, NamedSharding(mesh, P(axis, *([None] * (v.ndim - 1)))))
-    if packed:
-        return shard(out)
-    return {k: shard(v) for k, v in out.items()}
+            return jax.lax.cond(args["view_active"], live, dead, 0)
+
+        return jax.lax.map(per_view, stacks_l)
+
+    out_shapes = jax.eval_shape(local_views, segments, seg_mask, stacks,
+                                sigma_p, sigma_a, conf_t)
+    out_specs = jax.tree_util.tree_map(
+        lambda s: P(axis, *([None] * (len(s.shape) - 1))), out_shapes)
+    fn = shard_map(local_views, mesh=mesh,
+                   in_specs=(P(), P(), stack_specs, P(), P(), P()),
+                   out_specs=out_specs, check_vma=False)
+    return fn(segments, seg_mask, stacks, sigma_p, sigma_a, conf_t)
 
 
 def build_stacks(scene: Scene, cameras: CameraSet, neighbors: list,
@@ -244,10 +264,12 @@ def build_stacks(scene: Scene, cameras: CameraSet, neighbors: list,
                  num_pad_neighbors: int | None = None):
     """Host-side assembly of the per-view metadata stacks.
 
-    Returns (segments [V?,S,4] — note padded to Vp like the stacks so the
-    view's own segments can ride the sharded axis, seg_mask, stacks dict,
-    nb_ids [Vp, N]).  `num_pad_neighbors` pads the neighbor axis beyond the
-    scene's actual maximum (shape stability, L3DConfig.stable_shapes).
+    Returns (segments [Vp, S, 4] — the single replicated copy; the view's
+    own segments are gathered on device via stacks["view_idx"], so the
+    scene's largest tensor crosses the host->device link exactly once,
+    seg_mask, stacks dict, nb_ids [Vp, N]).  `num_pad_neighbors` pads the
+    neighbor axis beyond the scene's actual maximum (shape stability,
+    L3DConfig.stable_shapes).
     """
     V = scene.num_views
     Vp = num_pad_views or V
@@ -292,7 +314,7 @@ def build_stacks(scene: Scene, cameras: CameraSet, neighbors: list,
         C_nb[v, :k] = cameras.C[nb].astype(np.float32)
         P_nb[v, :k] = P32[nb]
 
-    stacks = dict(segs=segments, mask=seg_mask,
+    stacks = dict(view_idx=np.arange(Vp, dtype=np.int32),
                   RtKinv=RtKinv, C=C, nb_ids=nb_ids,
                   F_nb=F_nb, RtKinv_nb=RtKinv_nb, C_nb=C_nb, P_nb=P_nb,
                   nb_mask=nb_mask, spatial_k=spatial_k,
