@@ -125,7 +125,11 @@ def _diffuse_kernel(rw, wv_col, ri_seg, rowstart_j, colstart_i, mindeg,
         newv = jnp.maximum(pv * lockstep_dot(pv), eps)  # cudawrapper.cu:805
         return newv[order_col]              # write-to-transpose as a gather
 
-    pv = jax.lax.fori_loop(0, iterations, body, rw)
+    if iterations == 0:
+        # host twin still row-normalizes once before its (empty) loop
+        pv = row_normalize(rw)
+    else:
+        pv = jax.lax.fori_loop(0, iterations, body, rw)
     # min-symmetrize (performDiffusion, line3D.cc:1264-1299)
     return jnp.minimum(pv, pv[order_col])
 

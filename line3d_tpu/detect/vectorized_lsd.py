@@ -347,7 +347,6 @@ def _nfa_log10(n: np.ndarray, k: np.ndarray, p: float,
     n = np.asarray(n, np.float64)
     k = np.asarray(k, np.float64)
     k = np.minimum(k, n)
-    out = np.full(n.shape, -log_nt)
     # general case via normal/series: sum_{i=k}^{n} C(n,i) p^i (1-p)^(n-i)
     # computed with a stable log-sum over at most 64 terms (the tail decays
     # geometrically for p ~ 0.125 and k >> n p)
@@ -401,15 +400,10 @@ def _finalize_fit(stats, count, sw, cx, cy, dx, dy,
     width = np.maximum(wd_max - wd_min, 1.0)
     with np.errstate(divide="ignore", invalid="ignore"):
         density = np.where(length * width > 0, count / (length * width), 0)
-        # circular std of member gradient angles -> refine tolerance
-        R = np.sqrt(np.asarray(stats["sca"]) ** 2 +
-                    np.asarray(stats["ssa"]) ** 2) / np.maximum(count, 1)
-    R = np.clip(R, 1e-6, 1.0 - 1e-9)
-    ang_std = np.sqrt(-2.0 * np.log(R))
     return dict(count=count, sw=sw, cx=cx, cy=cy,
                 dx=dx.astype(np.float32), dy=dy.astype(np.float32),
                 l_min=l_min, l_max=l_max, length=length, width=width,
-                density=density, ang_std=ang_std)
+                density=density)
 
 
 def _fit_components(stats, xs, ys, flat_label, defined, prec):
@@ -478,11 +472,11 @@ def detect(image_gray: np.ndarray) -> np.ndarray:
 
     Returns [N, 5] array: (x1, y1, x2, y2, log_nfa) in input pixel coords.
 
-    Two passes: a full CC at prec = 22.5 deg, then a refinement CC over the
-    pixels of low-density components with a tightened per-component
-    tolerance tau = 2 * circular angle std — the data-parallel analogue of
-    LSD's refine() (lsd_opencv.cpp:884-930), which separates near-parallel
-    crossing lines that single-linkage merges.
+    Two passes: a full CC at prec = 22.5 deg, then a refinement ladder over
+    the pixels of low-density components at globally halved tolerances
+    (prec/2, prec/4, ...) — the data-parallel analogue of LSD's refine() /
+    reduce_region_radius (lsd_opencv.cpp:884-969), which separates
+    near-parallel crossing lines that single-linkage merges.
     """
     import jax as _jax
     dev = _detect_device()

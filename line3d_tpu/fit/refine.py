@@ -111,8 +111,9 @@ def refine_lines(P0, d, Pm, p1, p2, mask, iterations: int = 5,
         d_new = d + step[:, 2:3] * u1 + step[:, 3:4] * u2
         d_new /= np.linalg.norm(d_new, axis=1, keepdims=True)
 
-        # accept per cluster only if rms improves
-        rms_old = rms(P0, d)
+        # accept per cluster only if rms improves (r0 was computed at the
+        # current (P0, d), so rms_old comes for free)
+        rms_old = np.sqrt((r0 ** 2).sum(axis=(1, 2)) / n_res)
         rms_new = rms(P0_new, d_new)
         better = (rms_new < rms_old)[:, None]
         P0 = np.where(better, P0_new, P0)

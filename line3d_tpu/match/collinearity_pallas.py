@@ -94,9 +94,9 @@ def collinearity_keep_pallas(segs, mask, coll_sigma_sq,
     exactness is restored by the downstream recompute.
     """
     S = segs.shape[0]
-    block_s = min(block_s, S)
-    block_t = min(block_t, S)
-    assert S % block_s == 0 and S % block_t == 0, (S, block_s, block_t)
+    from .pairwise_pallas import _pick_block
+    block_s = _pick_block(block_s, S)
+    block_t = _pick_block(block_t, S)
 
     ln2 = 0.6931471805599453
     thr_sq = (2.0 * coll_sigma_sq * ln2 * (1.0 + MARGIN)).astype(jnp.float32)

@@ -20,11 +20,23 @@ cudawrapper.cu:538-611):
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_block(requested: int, dim: int) -> int:
+    """Largest block <= requested that divides dim.
+
+    The segment axis is padded to config.pad_multiple (128 by default but
+    configurable), so the padded size is NOT always a multiple of the
+    256-row default block — e.g. S in {384, 640, 896} under the default
+    config.  gcd keeps the grid exact for any padding choice instead of
+    asserting (the crash mode this replaces)."""
+    return math.gcd(int(requested), int(dim))
 
 EPS = 1e-12
 
@@ -137,18 +149,12 @@ def _compute(params_ref, segs_src_ref, segs_tgtT_ref, mask_src_ref,
              ((n1 > hi2 * e1) | (n2 > hi2 * e2)))
 
     def ray_n(M, x, y):
-        """Normalized ray — only for [BS,1]/[1,BT]-shaped endpoints."""
-        rx = M[0][0] * x + M[0][1] * y + M[0][2]
-        ry = M[1][0] * x + M[1][1] * y + M[1][2]
-        rz = M[2][0] * x + M[2][1] * y + M[2][2]
-        inv = jax.lax.rsqrt(jnp.maximum(rx * rx + ry * ry + rz * rz, EPS))
-        return rx * inv, ry * inv, rz * inv
-
-    def ray_u(M, x, y):
-        """Transfer-point ray.  The triangulation depth along ray1 is
-        invariant to ray2's scale, but normalization is still numerically
-        load-bearing: far epipolar intersections have huge coordinates and
-        the unnormalized dot products cancel catastrophically in f32."""
+        """Normalized viewing ray (segment endpoints AND epipolar transfer
+        points).  For transfer points the triangulation depth along ray1
+        is invariant to ray2's scale, but the normalization is still
+        numerically load-bearing: far epipolar intersections have huge
+        coordinates and the unnormalized dot products cancel
+        catastrophically in f32."""
         rx = M[0][0] * x + M[0][1] * y + M[0][2]
         ry = M[1][0] * x + M[1][1] * y + M[1][2]
         rz = M[2][0] * x + M[2][1] * y + M[2][2]
@@ -178,10 +184,10 @@ def _compute(params_ref, segs_src_ref, segs_tgtT_ref, mask_src_ref,
     ray_p2 = ray_n(Ms, p2x, p2y)
     ray_q1 = ray_n(Mt, q1x, q1y)
     ray_q2 = ray_n(Mt, q2x, q2y)
-    ray_a1 = ray_u(Mt, a1x, a1y)
-    ray_a2 = ray_u(Mt, a2x, a2y)
-    ray_b1 = ray_u(Ms, b1x, b1y)
-    ray_b2 = ray_u(Ms, b2x, b2y)
+    ray_a1 = ray_n(Mt, a1x, a1y)
+    ray_a2 = ray_n(Mt, a2x, a2y)
+    ray_b1 = ray_n(Ms, b1x, b1y)
+    ray_b2 = ray_n(Ms, b2x, b2y)
 
     d_p1, t1 = tri(ray_p1, ray_a1, True)
     d_p2, t2 = tri(ray_p2, ray_a2, True)
@@ -228,15 +234,14 @@ def match_pair_dense_pallas(segs_src, segs_tgt, mask_src, mask_tgt,
                             interpret: bool = False):
     """Drop-in replacement for pairwise.match_pair_dense on TPU.
 
-    Returns (depth planes tuple, valid bool [Ss, St]).  Ss and St must be
-    multiples of the block sizes (the Scene container pads to 128; callers
-    pick block sizes that divide the padded shape).
+    Returns (depth planes tuple, valid bool [Ss, St]).  Block sizes shrink
+    to the largest divisor of the padded shape (_pick_block), so any
+    pad_multiple works.
     """
     Ss = segs_src.shape[0]
     St = segs_tgt.shape[0]
-    block_s = min(block_s, Ss)
-    block_t = min(block_t, St)
-    assert Ss % block_s == 0 and St % block_t == 0, (Ss, St, block_s, block_t)
+    block_s = _pick_block(block_s, Ss)
+    block_t = _pick_block(block_t, St)
 
     params = jnp.concatenate([
         jnp.ravel(F), jnp.ravel(RtKinv_src), jnp.ravel(RtKinv_tgt),
@@ -292,9 +297,8 @@ def match_pair_valid_pallas(segs_src, segs_tgt, mask_src, mask_tgt,
     match path (pairwise.match_view_against_neighbors)."""
     Ss = segs_src.shape[0]
     St = segs_tgt.shape[0]
-    block_s = min(block_s, Ss)
-    block_t = min(block_t, St)
-    assert Ss % block_s == 0 and St % block_t == 0, (Ss, St, block_s, block_t)
+    block_s = _pick_block(block_s, Ss)
+    block_t = _pick_block(block_t, St)
 
     params = jnp.concatenate([
         jnp.ravel(F), jnp.ravel(RtKinv_src), jnp.ravel(RtKinv_tgt),

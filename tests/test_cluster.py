@@ -165,3 +165,16 @@ def test_diffusion_device_backend_dispatch():
     diffusion.run_diffusion(g2, cfg_d)
     np.testing.assert_array_equal(g.edges_i, g2.edges_i)
     np.testing.assert_allclose(g.edges_w, g2.edges_w, rtol=2e-4, atol=1e-6)
+
+
+def test_diffusion_device_matches_host_zero_iterations():
+    """iterations=0 edge case: the host twin still row-normalizes once
+    before its (empty) loop; the device kernel must match."""
+    from line3d_tpu.cluster import diffusion_device
+    i, j, w = _random_sym_graph(40, 140, 2)
+    hi, hj, hw = diffusion.diffuse_reference(i, j, w, 40, iterations=0)
+    di, dj, dw = diffusion_device.diffuse_reference_device(
+        i, j, w, 40, iterations=0)
+    np.testing.assert_array_equal(hi, di)
+    np.testing.assert_array_equal(hj, dj)
+    np.testing.assert_allclose(hw, dw, rtol=2e-4, atol=1e-7)

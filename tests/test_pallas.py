@@ -117,3 +117,44 @@ def test_pallas_scoring_matches_xla_interpret():
     ref, got = np.asarray(ref), np.asarray(got)
     assert (ref > 0).sum() > 50
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-4)
+
+
+def test_pallas_block_pick_odd_multiple_of_128():
+    """Padded segment axes that are NOT multiples of the 256-row default
+    block (e.g. S=384 under pad_multiple=128) must shrink the block via
+    gcd instead of crashing — this was a reproducible TPU-path crash for
+    any default-config scene with S in {384, 640, 896, ...}."""
+    from line3d_tpu.match.pairwise_pallas import _pick_block
+    assert _pick_block(256, 384) == 128
+    assert _pick_block(256, 640) == 128
+    assert _pick_block(256, 768) == 256
+    assert _pick_block(256, 48) == 16
+
+    syn = make_scene(num_views=6)
+    cams, sc = syn.cameras, syn.scene
+    v, n = 1, 3
+    S = 384
+    segs = np.zeros((2, S, 4), np.float32)
+    mask = np.zeros((2, S), bool)
+    ns = min(S, sc.segments.shape[1])
+    segs[0, :ns] = sc.segments[v][:ns]
+    segs[1, :ns] = sc.segments[n][:ns]
+    mask[0, :ns] = sc.seg_mask[v][:ns]
+    mask[1, :ns] = sc.seg_mask[n][:ns]
+    f32 = lambda x: jnp.asarray(np.asarray(x, np.float32))
+    args = (f32(segs[0]), f32(segs[1]),
+            jnp.asarray(mask[0]), jnp.asarray(mask[1]),
+            jnp.asarray(cams.fundamental(v, n).astype(np.float32)),
+            f32(cams.RtKinv[v]), f32(cams.RtKinv[n]),
+            f32(cams.C[v]), f32(cams.C[n]))
+    d_x, v_x = pairwise.match_pair_dense(*args)
+    d_p, v_p = pairwise_pallas.match_pair_dense_pallas(
+        *args, interpret=True)          # default 256 blocks -> gcd 128
+    v_x, v_p = np.asarray(v_x), np.asarray(v_p)
+    assert (v_x != v_p).mean() < 1e-3
+    both = v_x & v_p
+    assert both.sum() > 20
+    for k in range(4):
+        np.testing.assert_allclose(np.asarray(d_x[k])[both],
+                                   np.asarray(d_p[k])[both],
+                                   rtol=1e-4, atol=1e-5)
