@@ -69,10 +69,15 @@ def compute_conditioning(centers: np.ndarray) -> SceneTransform:
     out_points = (centers - m) * q
     cog_out = out_points.mean(axis=0)
 
-    # findSimilarityTransform (line3D.cc:1694-1718)
+    # findSimilarityTransform (line3D.cc:1694-1718).  The reference
+    # divides d2/d1 unguarded and NaNs when a camera center coincides
+    # with the centroid (degenerate collinear-symmetric rigs); skipping
+    # those points is exact for every non-degenerate scene (each term
+    # then equals q) and keeps degenerate ones finite.
     d1 = np.linalg.norm(centers - m, axis=1)
     d2 = np.linalg.norm(out_points - cog_out, axis=1)
-    scale = float((d2 / d1).sum() / n)
+    ok = d1 > 1e-15
+    scale = float((d2[ok] / d1[ok]).mean()) if ok.any() else 1.0
 
     cog_in = m * scale
     inp_scaled = centers * scale

@@ -47,9 +47,23 @@ def resize(img: np.ndarray, new_w: int, new_h: int) -> np.ndarray:
     if _HAS_CV2:
         return cv2.resize(img, (new_w, new_h), interpolation=cv2.INTER_LINEAR)
     from PIL import Image
-    mode_img = Image.fromarray(img.astype(np.uint8)) if img.dtype != np.uint8 \
-        else Image.fromarray(img)
-    return np.asarray(mode_img.resize((new_w, new_h), Image.BILINEAR))
+    if img.dtype == np.uint8:
+        return np.asarray(Image.fromarray(img).resize((new_w, new_h),
+                                                      Image.BILINEAR))
+
+    # non-uint8: resize in float ('F' mode) — a uint8 coercion would wrap
+    # out-of-range values modulo 256 (e.g. 256.2 -> 0, -0.5 -> 255)
+    def _one(ch):
+        return np.asarray(Image.fromarray(
+            np.ascontiguousarray(ch, np.float32), mode="F")
+            .resize((new_w, new_h), Image.BILINEAR))
+
+    out = _one(img) if img.ndim == 2 else \
+        np.stack([_one(img[..., c]) for c in range(img.shape[2])], axis=-1)
+    if np.issubdtype(img.dtype, np.integer):
+        info = np.iinfo(img.dtype)
+        out = np.clip(np.rint(out), info.min, info.max)
+    return out.astype(img.dtype)
 
 
 def make_K(focal: float, width: int, height: int) -> np.ndarray:
@@ -72,7 +86,10 @@ def undistort(img: np.ndarray, K: np.ndarray, k1: float,
             K, coeffs, np.eye(3), K, (w, h), cv2.CV_32FC1)
         return cv2.remap(img, mx, my, cv2.INTER_LINEAR,
                          borderMode=cv2.BORDER_CONSTANT)
-    # numpy fallback: same model, bilinear sampling
+    # numpy fallback: same model, bilinear sampling with BORDER_CONSTANT
+    # semantics — taps outside the image contribute 0 to the blend (as
+    # cv2.remap does), implemented by sampling a zero-padded copy, so the
+    # border band matches the cv2 path instead of edge-clamping
     ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
     x = (xs - K[0, 2]) / K[0, 0]
     y = (ys - K[1, 2]) / K[1, 1]
@@ -80,17 +97,20 @@ def undistort(img: np.ndarray, K: np.ndarray, k1: float,
     scale = 1.0 + k1 * r2 + k2 * r2 * r2
     xd = x * scale * K[0, 0] + K[0, 2]
     yd = y * scale * K[1, 1] + K[1, 2]
-    x0 = np.clip(np.floor(xd).astype(int), 0, w - 1)
-    y0 = np.clip(np.floor(yd).astype(int), 0, h - 1)
-    x1 = np.clip(x0 + 1, 0, w - 1)
-    y1 = np.clip(y0 + 1, 0, h - 1)
-    fx = np.clip(xd - x0, 0, 1)[..., None] if img.ndim == 3 else np.clip(xd - x0, 0, 1)
-    fy = np.clip(yd - y0, 0, 1)[..., None] if img.ndim == 3 else np.clip(yd - y0, 0, 1)
-    imgf = img.astype(np.float64)
-    out = (imgf[y0, x0] * (1 - fx) * (1 - fy) + imgf[y0, x1] * fx * (1 - fy) +
-           imgf[y1, x0] * (1 - fx) * fy + imgf[y1, x1] * fx * fy)
-    inside = (xd >= 0) & (xd <= w - 1) & (yd >= 0) & (yd <= h - 1)
-    out = np.where(inside[..., None] if img.ndim == 3 else inside, out, 0)
+    x0 = np.floor(xd).astype(int)
+    y0 = np.floor(yd).astype(int)
+    fx = (xd - x0)[..., None] if img.ndim == 3 else (xd - x0)
+    fy = (yd - y0)[..., None] if img.ndim == 3 else (yd - y0)
+    pad = np.zeros((h + 2, w + 2) + img.shape[2:], np.float64)
+    pad[1:h + 1, 1:w + 1] = img
+    xp0 = np.clip(x0 + 1, 0, w + 1)
+    xp1 = np.clip(x0 + 2, 0, w + 1)
+    yp0 = np.clip(y0 + 1, 0, h + 1)
+    yp1 = np.clip(y0 + 2, 0, h + 1)
+    out = (pad[yp0, xp0] * (1 - fx) * (1 - fy) + pad[yp0, xp1] * fx * (1 - fy) +
+           pad[yp1, xp0] * (1 - fx) * fy + pad[yp1, xp1] * fx * fy)
+    if np.issubdtype(img.dtype, np.integer):
+        out = np.rint(out)
     return out.astype(img.dtype)
 
 

@@ -65,15 +65,23 @@ def load_nvm_scene(path: str) -> NVMScene:
         p += 1
     num_points = int(lines[p].split()[0]); p += 1
 
+    # the reference reads this section with stream extraction (operator>>,
+    # main_vsfm.cpp:199-223), so a point's measurement list may wrap across
+    # physical lines — parse the remainder as one token stream
+    toks = iter(" ".join(lines[p:]).split())
     wp_lists = [[] for _ in range(num_cams)]
-    for wp in range(num_points):
-        tok = lines[p].split(); p += 1
-        k = 6
-        num_views = int(tok[k]); k += 1
-        for _ in range(num_views):
-            cam = int(tok[k]); k += 4
-            if 0 <= cam < num_cams:
-                wp_lists[cam].append(wp)
+    try:
+        for wp in range(num_points):
+            for _ in range(6):                    # xyz + rgb
+                next(toks)
+            num_views = int(next(toks))
+            for _ in range(num_views):
+                cam = int(next(toks))
+                next(toks); next(toks); next(toks)  # featIdx, mx, my
+                if 0 <= cam < num_cams:
+                    wp_lists[cam].append(wp)
+    except StopIteration:
+        raise ValueError("truncated NVM point section") from None
 
     return NVMScene(image_names=names, focal=np.array(focal),
                     distortion=np.array(dist), R=R, t=t, wp_lists=wp_lists)

@@ -24,10 +24,21 @@ _tried = False
 
 
 def build(force: bool = False) -> bool:
-    """Compile the native library.  Returns True on success."""
-    if os.path.exists(_LIB_PATH) and not force and \
-            os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC):
+    """Compile the native library.  Returns True when a usable .so exists.
+
+    The .so is machine-local (compiled -march=native) and never shipped —
+    an existing binary is reused when it is at least as new as the source;
+    with the source absent (installed package) an existing binary is
+    trusted as-is.
+    """
+    have_lib = os.path.exists(_LIB_PATH)
+    have_src = os.path.exists(_SRC)
+    if have_lib and not force and \
+            (not have_src or
+             os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC)):
         return True
+    if not have_src:
+        return have_lib
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC",
@@ -35,7 +46,7 @@ def build(force: bool = False) -> bool:
             check=True, capture_output=True)
         return True
     except (subprocess.CalledProcessError, FileNotFoundError):
-        return False
+        return have_lib and not force
 
 
 def get_lib():
@@ -47,7 +58,16 @@ def get_lib():
         _tried = True
         if not build():
             return None
-        lib = ctypes.CDLL(_LIB_PATH)
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            # stale/foreign binary — rebuild once for this machine
+            if not build(force=True):
+                return None
+            try:
+                lib = ctypes.CDLL(_LIB_PATH)
+            except OSError:
+                return None
         i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
         f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
         lib.fh_cluster.argtypes = [i64p, i64p, f64p, ctypes.c_int64,

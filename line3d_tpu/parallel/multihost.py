@@ -59,6 +59,17 @@ def allgather_segments(local_segments: np.ndarray, local_mask: np.ndarray,
     from jax.experimental import multihost_utils
 
     V_local, S, _ = local_segments.shape
+    # hosts detect independently, so their padded segment axes can differ
+    # (per-shard max counts); collectives need identical shapes on every
+    # process — agree on the global max S first (one tiny allgather)
+    S_all = np.asarray(multihost_utils.process_allgather(
+        jnp.asarray([S], np.int32)))
+    S_global = int(S_all.max())
+    if S_global != S:
+        pad = S_global - S
+        local_segments = np.pad(local_segments, [(0, 0), (0, pad), (0, 0)])
+        local_mask = np.pad(local_mask, [(0, 0), (0, pad)])
+        S = S_global
     segs = np.zeros((num_views, S, 4), np.float32)
     mask = np.zeros((num_views, S), bool)
     segs[start:start + V_local] = local_segments

@@ -111,3 +111,71 @@ def test_gray_matches_reference_weights():
     np.testing.assert_allclose(g[0, 0], 29.9, atol=0.1)
     np.testing.assert_allclose(g[0, 1], 58.7, atol=0.1)
     np.testing.assert_allclose(g[1, 0], 11.4, atol=0.1)
+
+
+def test_undistort_fallback_matches_cv2():
+    """The numpy undistort fallback must match cv2.remap BORDER_CONSTANT
+    semantics including the border band (taps outside blend with 0)."""
+    import cv2
+    from line3d_tpu.io import images
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (60, 80), np.uint8)
+    K = images.make_K(70.0, 80, 60)
+    want = images.undistort(img, K, 0.08, -0.01)        # cv2 path
+    images._HAS_CV2 = False
+    try:
+        got = images.undistort(img, K, 0.08, -0.01)     # numpy fallback
+    finally:
+        images._HAS_CV2 = True
+    diff = np.abs(want.astype(int) - got.astype(int))
+    assert diff.max() <= 1, f"max abs diff {diff.max()}"
+
+
+def test_resize_fallback_float_no_wraparound():
+    """PIL fallback must not coerce floats through uint8 (modulo-256
+    wraparound for out-of-range values)."""
+    from line3d_tpu.io import images
+    img = np.array([[256.2, -0.5], [100.0, 300.0]], np.float32)
+    images._HAS_CV2 = False
+    try:
+        out = images.resize(img, 4, 4)
+    finally:
+        images._HAS_CV2 = True
+    assert out.dtype == np.float32
+    assert out.max() > 250.0 and out.min() >= -1.0      # no wrap to ~0/255
+
+
+def test_nvm_wrapped_measurement_lines(tmp_path):
+    """NVM point measurement lists may wrap across physical lines (the
+    reference parses with stream extraction, main_vsfm.cpp:199-223)."""
+    from line3d_tpu.io import nvm
+    content = """NVM_V3
+
+2
+a.jpg 500 1 0 0 0 0 0 0 0
+b.jpg 500 1 0 0 0 1 0 0 0
+
+1
+0 0 0 128 128 128 2 0 0
+0.0 0.0 1 1
+1.0 1.0
+"""
+    p = tmp_path / "scene.nvm"
+    p.write_text(content)
+    sc = nvm.load_nvm_scene(str(p))
+    assert sc.wp_lists[0] == [0] and sc.wp_lists[1] == [0]
+
+
+def test_conditioning_degenerate_center_on_centroid():
+    """A camera center on the centroid must not NaN the conditioning (the
+    reference divides d2/d1 unguarded; we skip d1=0 terms — identical for
+    all non-degenerate scenes)."""
+    from line3d_tpu.core.conditioning import compute_conditioning
+    centers = np.array([[-1.0, 0, 0], [0.0, 0, 0], [1.0, 0, 0]])
+    tr = compute_conditioning(centers)
+    assert np.isfinite(tr.scale) and tr.scale > 0
+    back = tr.inverse_transform_points(
+        (np.concatenate([centers, np.ones((3, 1))], axis=1) @ tr.Qinv.T)[:, :3]
+        * tr.scale)
+    # round trip through the conditioning transform
+    np.testing.assert_allclose(back, centers, atol=1e-9)
