@@ -52,6 +52,18 @@ segs_all, mask_all = multihost.allgather_segments(
 assert np.allclose(segs_all, scene.segments), "allgather segments mismatch"
 assert (mask_all == scene.seg_mask).all(), "allgather mask mismatch"
 
+# hosts that detect independently pad to DIFFERENT local maxima; the
+# gather must agree on the global segment axis first (+pid makes the
+# local S genuinely differ between the two hosts)
+smax_local = max(int(scene.seg_mask[start:end].sum(axis=1).max()), 1) + pid
+segs2, mask2 = multihost.allgather_segments(
+    scene.segments[start:end, :smax_local],
+    scene.seg_mask[start:end, :smax_local], start, scene.num_views)
+Sg = segs2.shape[1]
+assert Sg >= smax_local and np.allclose(segs2, scene.segments[:, :Sg]) \
+    and (mask2 == scene.seg_mask[:, :Sg]).all() \
+    and not scene.seg_mask[:, Sg:].any(), "tight-S allgather mismatch"
+
 # Global mesh over both hosts' devices; stacks ride the view axis, so each
 # host contributes its addressable block (multihost.py recipe step 3).
 from jax.experimental import multihost_utils  # noqa: E402
