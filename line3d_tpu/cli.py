@@ -24,6 +24,18 @@ from .pipeline import Line3D
 from .io import bundler as bundler_io, nvm as nvm_io, images as img_io
 
 
+def _parse_bool(s: str) -> bool:
+    """Reference-compatible bool flags: TCLAP parses '-d 0' as false and
+    '-d 1' as true (istream >> bool); accept the common spellings both
+    ways instead of treating everything but 'false' as true."""
+    v = s.strip().lower()
+    if v in ("1", "true", "yes", "on"):
+        return True
+    if v in ("0", "false", "no", "off"):
+        return False
+    raise argparse.ArgumentTypeError(f"expected a boolean, got {s!r}")
+
+
 def _add_common_flags(ap: argparse.ArgumentParser):
     d = L3DConfig()
     ap.add_argument("-o", "--output_folder", default="")
@@ -37,26 +49,26 @@ def _add_common_flags(ap: argparse.ArgumentParser):
                     default=d.uncertainty_upper_px)
     ap.add_argument("-g", "--sigma_a", type=float, default=d.sigma_a)
     ap.add_argument("-p", "--sigma_p", type=float, default=d.sigma_p)
-    ap.add_argument("-d", "--diffusion", type=lambda s: s.lower() != "false",
+    ap.add_argument("-d", "--diffusion", type=_parse_bool,
                     default=d.perform_diffusion)
-    ap.add_argument("-v", "--verbose", type=lambda s: s.lower() != "false",
+    ap.add_argument("-v", "--verbose", type=_parse_bool,
                     default=False)
     ap.add_argument("-l", "--load_and_store_flag",
-                    type=lambda s: s.lower() != "false",
+                    type=_parse_bool,
                     default=d.load_and_store_segments)
     ap.add_argument("-e", "--collinearity_flag",
-                    type=lambda s: s.lower() != "false",
+                    type=_parse_bool,
                     default=d.use_collinearity)
     ap.add_argument("-x", "--min_image_baseline", type=float,
                     default=d.min_baseline)
-    ap.add_argument("-r", "--refine", type=lambda s: s.lower() != "false",
+    ap.add_argument("-r", "--refine", type=_parse_bool,
                     default=d.refine_lines,
                     help="bundle-adjust 3D lines against member segments "
                          "(extension; no reference equivalent)")
     ap.add_argument("--detect_workers", type=int, default=0,
                     help="threads for parallel image load/undistort/detect "
                          "(0 = auto; the reference detects sequentially)")
-    ap.add_argument("--stable_shapes", type=lambda s: s.lower() != "false",
+    ap.add_argument("--stable_shapes", type=_parse_bool,
                     default=True,
                     help="snap device-program shapes to buckets so TPU "
                          "executables pre-compile during detection and are "
@@ -85,14 +97,15 @@ def _config_from_args(args) -> L3DConfig:
 def _result_stem(args) -> str:
     """Parameter-stamped result name (main_bundler.cpp:302-327)."""
     n = args.num_matching_neighbors
+    # the reference stamps the fabs()'d values (main_bundler.cpp:86-94)
     parts = [
         "line3D_result_",
         f"W_{args.max_image_width}_",
         "N_ALL_" if n < 0 else f"N_{n}_",
-        f"tL_{args.reprojection_error_lower_bound:g}_",
-        f"tU_{args.reprojection_error_upper_bound:g}_",
-        f"sigmaP_{args.sigma_p:g}_",
-        f"sigmaA_{args.sigma_a:g}_",
+        f"tL_{abs(args.reprojection_error_lower_bound):g}_",
+        f"tU_{abs(args.reprojection_error_upper_bound):g}_",
+        f"sigmaP_{abs(args.sigma_p):g}_",
+        f"sigmaA_{abs(args.sigma_a):g}_",
         "COLLIN_" if args.collinearity_flag else "NO_COLLIN_",
         "DIFFUSION" if args.diffusion else "NO_DIFFUSION",
     ]

@@ -18,12 +18,13 @@ import jax.numpy as jnp
 from ..core import geometry as g
 
 
-@functools.partial(jax.jit, static_argnames=())
-def collinearity_matrix(segs, mask, coll_sigma_sq):
+@functools.partial(jax.jit, static_argnames=("aff_threshold",))
+def collinearity_matrix(segs, mask, coll_sigma_sq, aff_threshold: float = 0.5):
     """Dense [S, S] collinearity scores for one view (0 where not collinear).
 
     Args:
       segs: [S, 4] float32; mask: [S] bool; coll_sigma_sq: sigma^2 scalar.
+      aff_threshold: keep gate (L3D_COLLIN_AFF_T_G = 0.5, cudawrapper.h:44).
     """
     p1, p2 = g.seg_endpoints(segs)
     line = g.line_through(p1, p2)                   # [S, 3]
@@ -49,7 +50,7 @@ def collinearity_matrix(segs, mask, coll_sigma_sq):
     eps = g.EPS
     no_overlap = (pos1 > -eps) & (pos2 > -eps) & (pos3 > -eps) & (pos4 > -eps)
 
-    keep = (aff > 0.5) & no_overlap & mask[:, None] & mask[None, :]
+    keep = (aff > aff_threshold) & no_overlap & mask[:, None] & mask[None, :]
     keep = keep & ~jnp.eye(segs.shape[0], dtype=bool)
     return jnp.where(keep, aff, 0.0)
 
@@ -74,7 +75,8 @@ def collinearity_maps(scene_segments, scene_mask, coll_sigma: float):
     return out
 
 
-def _pair_aff(si, sj, mask_i, mask_j, not_self, coll_sigma_sq):
+def _pair_aff(si, sj, mask_i, mask_j, not_self, coll_sigma_sq,
+              aff_threshold: float = 0.5):
     """Collinearity affinity for explicit segment pairs.
 
     si: [S, 4] (row segment, broadcast over K); sj: [S, K, 4] partners.
@@ -110,7 +112,7 @@ def _pair_aff(si, sj, mask_i, mask_j, not_self, coll_sigma_sq):
     no_overlap = (pos1 > -eps) & (pos2 > -eps) & \
                  (pos3 > -eps) & (pos4 > -eps)
 
-    keep = (aff > 0.5) & no_overlap & mask_i & mask_j & not_self
+    keep = (aff > aff_threshold) & no_overlap & mask_i & mask_j & not_self
     return jnp.where(keep, aff, 0.0)
 
 
@@ -119,9 +121,11 @@ def _pairs_cap(S: int, K: int, quota: int, pairs_per_seg: int = 4) -> int:
     return min(S * K, max(8192, pairs_per_seg * S))
 
 
-@functools.partial(jax.jit, static_argnames=("quota", "pairs_per_seg"))
+@functools.partial(jax.jit, static_argnames=("quota", "pairs_per_seg",
+                                              "aff_threshold"))
 def collinearity_compact_all(segments, masks, coll_sigma_sq, quota=8,
-                             pairs_per_seg: int = 4):
+                             pairs_per_seg: int = 4,
+                             aff_threshold: float = 0.5):
     """All views' collinearity maps, compacted ON DEVICE to flat pair lists.
 
     Transferring the dense [S, S] maps to host costs ~37 MB/view over the
@@ -148,9 +152,12 @@ def collinearity_compact_all(segments, masks, coll_sigma_sq, quota=8,
         def live(_):
             if use_pallas():
                 from .collinearity_pallas import collinearity_keep_pallas
-                keep = collinearity_keep_pallas(segs, mask, coll_sigma_sq)
+                keep = collinearity_keep_pallas(segs, mask, coll_sigma_sq,
+                                                aff_threshold=aff_threshold)
             else:
-                keep = collinearity_matrix(segs, mask, coll_sigma_sq) > 0.0
+                keep = collinearity_matrix(
+                    segs, mask, coll_sigma_sq,
+                    aff_threshold=aff_threshold) > 0.0
             tgt, kept, n_valid = compact_rows_blockq(keep, quota)
             sj = segs[jnp.maximum(tgt, 0)]              # [S, K, 4]
             iota = jax.lax.broadcasted_iota(jnp.int32, tgt.shape, 0)
@@ -159,7 +166,8 @@ def collinearity_compact_all(segments, masks, coll_sigma_sq, quota=8,
             # and costs ~5 ms/view (pred[S] gather at S*K indices; XLA
             # small-axis gather landmine)
             w = _pair_aff(segs, sj, mask[:, None], kept,
-                          tgt != iota, coll_sigma_sq)
+                          tgt != iota, coll_sigma_sq,
+                          aff_threshold=aff_threshold)
             return tgt, w, jnp.sum(n_valid)
 
         # fully-masked views (view-axis padding slots) skip the whole
@@ -190,7 +198,8 @@ def collinearity_compact_all(segments, masks, coll_sigma_sq, quota=8,
 def collinearity_dispatch(scene_segments, scene_mask, coll_sigma: float,
                           quota: int = 8,
                           num_pad_views: int | None = None,
-                          pairs_per_seg: int = 4):
+                          pairs_per_seg: int = 4,
+                          aff_threshold: float = 0.5):
     """Launch the device-compacted collinearity program WITHOUT blocking.
 
     Returns lazy device arrays (pairs, w, count); pass them to
@@ -211,7 +220,7 @@ def collinearity_dispatch(scene_segments, scene_mask, coll_sigma: float,
     sig2 = np.float32(coll_sigma * coll_sigma)
     return collinearity_compact_all(
         jnp.asarray(segs), jnp.asarray(mask), sig2, quota=quota,
-        pairs_per_seg=pairs_per_seg)
+        pairs_per_seg=pairs_per_seg, aff_threshold=float(aff_threshold))
 
 
 class CollinMaps(list):
@@ -269,12 +278,14 @@ def collinearity_finalize(pairs, w, count, max_segments: int,
 def collinearity_maps_fast(scene_segments, scene_mask, coll_sigma: float,
                            quota: int = 8,
                            num_pad_views: int | None = None,
-                           pairs_per_seg: int = 4):
+                           pairs_per_seg: int = 4,
+                           aff_threshold: float = 0.5):
     """Drop-in replacement for collinearity_maps using the device-compacted
     path (one dispatch for the whole scene)."""
     pairs, w, count = collinearity_dispatch(
         scene_segments, scene_mask, coll_sigma, quota=quota,
-        num_pad_views=num_pad_views, pairs_per_seg=pairs_per_seg)
+        num_pad_views=num_pad_views, pairs_per_seg=pairs_per_seg,
+        aff_threshold=aff_threshold)
     return collinearity_finalize(pairs, w, count,
                                  max_segments=scene_segments.shape[1],
                                  num_views=len(scene_segments))

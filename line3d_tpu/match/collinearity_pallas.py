@@ -21,6 +21,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -84,10 +85,11 @@ def _kernel(params_ref, segs_ref, segsT_ref, mask_ref, maskT_ref, keep_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("block_s", "block_t",
-                                             "interpret"))
+                                             "interpret", "aff_threshold"))
 def collinearity_keep_pallas(segs, mask, coll_sigma_sq,
                              block_s: int = 256, block_t: int = 256,
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             aff_threshold: float = 0.5):
     """Candidate keep-plane [S, S] bool for one view's collinearity.
 
     Superset of `collinearity_matrix(...) > 0` (see module docstring);
@@ -98,8 +100,10 @@ def collinearity_keep_pallas(segs, mask, coll_sigma_sq,
     block_s = _pick_block(block_s, S)
     block_t = _pick_block(block_t, S)
 
-    ln2 = 0.6931471805599453
-    thr_sq = (2.0 * coll_sigma_sq * ln2 * (1.0 + MARGIN)).astype(jnp.float32)
+    # aff = exp(-d^2 / 2 sigma^2) > T  <=>  d^2 < 2 sigma^2 * (-ln T)
+    neg_ln_t = float(-np.log(aff_threshold))
+    thr_sq = (2.0 * coll_sigma_sq * neg_ln_t *
+              (1.0 + MARGIN)).astype(jnp.float32)
     params = jnp.reshape(thr_sq, (1, 1))
 
     segsT = segs.T                                     # [4, S]

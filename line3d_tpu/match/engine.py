@@ -67,11 +67,12 @@ class BestMatches:
 
 
 @functools.partial(jax.jit, static_argnames=("quota", "m_total",
-                                             "row_chunk"))
+                                             "row_chunk", "support_t"))
 def _match_and_score_view(segs_src, mask_src, RtKinv_src, C_src,
                           segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, P_nb,
                           nb_mask, sigma_p, sigma_a, spatial_k,
-                          quota: int, m_total: int, row_chunk: int):
+                          quota: int, m_total: int, row_chunk: int,
+                          support_t: float = 0.5):
     """Full device-side matching step for one source view.
 
     Returns (cam [S, M], tgt [S, M], depths [S, M, 4], valid [S, M],
@@ -91,7 +92,8 @@ def _match_and_score_view(segs_src, mask_src, RtKinv_src, C_src,
     conf = scoring.score_matches_best(
         segs_src, mask_src, RtKinv_src, C_src,
         cam, tgt, depths, valid, P_nb, segs_nb,
-        sigma_p, sigma_a, spatial_k, row_chunk=row_chunk)
+        sigma_p, sigma_a, spatial_k, row_chunk=row_chunk,
+        support_threshold=support_t)
 
     total_overflow = res["overflow"]
     n_kept = jnp.sum(res["valid"], axis=(0, 2))      # per src seg, all nbrs
@@ -185,7 +187,8 @@ def run_matching(scene: Scene, cameras: CameraSet, neighbors: list,
             np.float32(spatial_ks[v]),
             quota=config.match_block_quota,
             m_total=min(config.max_matches_per_segment, S),
-            row_chunk=min(128, S))
+            row_chunk=min(128, S),
+            support_t=float(config.support_threshold))
         cam = np.asarray(cam)
         tgt = np.asarray(tgt)
         depths = np.asarray(depths)
@@ -286,6 +289,7 @@ def dispatch_matching_sharded(scene: Scene, cameras: CameraSet,
         m_total=min(config.max_matches_per_segment, S),
         row_chunk=min(128, S),
         k_export=k_export,
+        support_t=float(config.support_threshold),
         mesh=mesh, packed=True)
     ctx = dict(nb_ids=nb_ids, S=S, k_export=k_export, neighbors=neighbors)
     return buf, ctx

@@ -59,7 +59,7 @@ def unpack_export(packed: np.ndarray, max_segments: int, n_slots: int):
 
 
 def _single_view_step(segments, seg_mask, args, quota, m_total, row_chunk,
-                      conf_t, sigma_p, sigma_a, k_export):
+                      conf_t, sigma_p, sigma_a, k_export, support_t=0.5):
     (view_idx, RtKinv_src, C_src,
      nb_ids, F_nb, RtKinv_nb, C_nb, P_nb, nb_mask,
      spatial_k, view_active) = args
@@ -87,7 +87,8 @@ def _single_view_step(segments, seg_mask, args, quota, m_total, row_chunk,
     conf = scoring.score_matches_best(
         segs_src, mask_src, RtKinv_src, C_src,
         cam, tgt, depths, valid, P_nb, segs_nb,
-        sigma_p, sigma_a, spatial_k, row_chunk=row_chunk)
+        sigma_p, sigma_a, spatial_k, row_chunk=row_chunk,
+        support_threshold=support_t)
 
     # --- device-side selection -----------------------------------------
     keep = valid & (conf > conf_t)
@@ -194,11 +195,13 @@ def unpack_view_outputs(buf: np.ndarray, S: int, k_export: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("quota", "m_total", "row_chunk",
-                                    "k_export", "mesh", "axis", "packed"))
+                                    "k_export", "mesh", "axis", "packed",
+                                    "support_t"))
 def sharded_match_all_views(segments, seg_mask, stacks,
                             sigma_p, sigma_a, conf_t,
                             quota, m_total, row_chunk, k_export,
-                            mesh, axis="views", packed=False):
+                            mesh, axis="views", packed=False,
+                            support_t: float = 0.5):
     """Match every view against its neighbors, sharded over `mesh`.
 
     segments [V, S, 4] / seg_mask [V, S] are replicated; `stacks` is a dict
@@ -229,7 +232,8 @@ def sharded_match_all_views(segments, seg_mask, stacks,
             def live(_):
                 o = _single_view_step(segments, seg_mask, ordered,
                                       quota, m_total, row_chunk,
-                                      conf_t, sigma_p, sigma_a, k_export)
+                                      conf_t, sigma_p, sigma_a, k_export,
+                                      support_t=support_t)
                 if packed:
                     return _pack_view_outputs(o, k_export)
                 return o

@@ -126,11 +126,19 @@ class Line3D:
 
         segs = None
         cache_file = None
-        if self.data_directory and store:
-            cache_file = seg_cache.segment_cache_path(
+        if self.data_directory:
+            path = seg_cache.segment_cache_path(
                 self.data_directory, image_id, new_w, new_h,
-                cfg.use_collinearity)
-            segs = seg_cache.load_segments(cache_file)
+                cfg.use_collinearity, max_segments=cfg.max_num_segments,
+                min_len_factor=cfg.min_line_length_factor)
+            if store:
+                cache_file = path
+                segs = seg_cache.load_segments(cache_file)
+            elif os.path.exists(path):
+                # mirror the reference: -l off removes a stale cache file
+                # so a later cached run cannot resurrect it
+                # (line3D.cc:154-158)
+                os.remove(path)
         dt = 0.0
         if segs is None:
             t0 = time.time()
@@ -195,7 +203,17 @@ class Line3D:
                           worldpoint_ids=None, width: int = 0,
                           height: int = 0):
         """Register a view with precomputed 2D segments (detector bypass —
-        the reference's `-l` cache plays the same role, line3D.cc:160-168)."""
+        the reference's `-l` cache plays the same role, line3D.cc:160-168).
+
+        Views with ZERO segments are not registered (the reference returns
+        from addImage without creating the view, line3D.cc:188-198) — a
+        segmentless camera must not occupy a visual-neighbor slot."""
+        if image_id in self._images:
+            raise ValueError(f"image id {image_id} already in use")
+        if np.asarray(segments).size == 0:
+            if self.verbose:
+                print(f"[L3D] image {image_id}: no segments — view skipped")
+            return
         self._images.append(image_id)
         self._K.append(np.asarray(K, np.float64))
         self._R.append(np.asarray(R, np.float64))
@@ -248,7 +266,8 @@ class Line3D:
             refs.append(collinearity_dispatch(
                 np.zeros((1, S, 4), np.float32), np.zeros((1, S), bool),
                 cfg.collinearity_sigma, num_pad_views=Vp,
-                pairs_per_seg=cfg.collinearity_pairs_per_seg))
+                pairs_per_seg=cfg.collinearity_pairs_per_seg,
+                aff_threshold=cfg.collinearity_aff_threshold))
         self._warmup_refs = refs
 
     def set_view_similarity(self, image_id: int, sims: dict):
@@ -322,7 +341,7 @@ class Line3D:
         sim = self._view_similarities()
         self.neighbors = find_visual_neighbors(
             sim, cams.baselines(), cfg.min_baseline, cfg.matching_neighbors,
-            cfg.eps)
+            cfg.eps, ext_ids=self._images)
 
         # stage 2: scene conditioning (line3D.cc:364) — host, cheap
         self.transform = compute_conditioning(cams.C)
@@ -350,7 +369,8 @@ class Line3D:
                 cpairs, cw, ccnt = collinearity_dispatch(
                     scene.segments, scene.seg_mask, cfg.collinearity_sigma,
                     num_pad_views=Vp,
-                    pairs_per_seg=cfg.collinearity_pairs_per_seg)
+                    pairs_per_seg=cfg.collinearity_pairs_per_seg,
+                    aff_threshold=cfg.collinearity_aff_threshold)
                 # queue both device->host copies before blocking on either:
                 # the matching program finishes first (it was dispatched
                 # first), so its transfer rides the DMA path while the
@@ -369,10 +389,13 @@ class Line3D:
         else:
             if cfg.use_collinearity:
                 scene.collin = collinearity_maps_fast(
-                    scene.segments, scene.seg_mask, cfg.collinearity_sigma)
+                    scene.segments, scene.seg_mask, cfg.collinearity_sigma,
+                    pairs_per_seg=cfg.collinearity_pairs_per_seg,
+                    aff_threshold=cfg.collinearity_aff_threshold)
             t1 = time.time()
             matches, best, med = engine.run_matching(
                 scene, cams, self.neighbors, cfg, verbose=self.verbose)
+            self._warmup_refs = []
         t_collin = t1 - t0
         t2 = time.time()
 

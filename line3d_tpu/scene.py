@@ -159,7 +159,7 @@ def view_similarities_from_worldpoints(wp_lists: list, num_views: int):
 
 def find_visual_neighbors(sim: np.ndarray, baselines: np.ndarray,
                           min_baseline: float, max_neighbors: int,
-                          eps: float = 1e-12) -> list:
+                          eps: float = 1e-12, ext_ids=None) -> list:
     """Greedy visual-neighbor selection per view.
 
     Mirrors findVisualNeighbors (line3D.cc:503-548): iterate candidates in
@@ -168,13 +168,20 @@ def find_visual_neighbors(sim: np.ndarray, baselines: np.ndarray,
     then keep the top `max_neighbors` by similarity (stable sort, list order =
     id order for ties).
 
-    Returns per-view sorted (ascending id) numpy arrays of neighbor ids.
+    The accept loop and similarity tie-breaks are order-dependent;
+    `ext_ids` supplies the external image ids so candidates iterate in
+    ascending EXTERNAL id (the reference's std::map order) even when views
+    were registered out of id order.  Default: internal order (dense ids).
+
+    Returns per-view sorted (ascending internal id) numpy arrays of
+    neighbor ids.
     """
     V = sim.shape[0]
+    cand_order = range(V) if ext_ids is None else         np.argsort(np.asarray(ext_ids), kind="stable").tolist()
     out = []
     for v in range(V):
         accepted = []
-        for n in range(V):
+        for n in cand_order:
             if n == v or sim[v, n] <= eps:
                 continue
             if baselines[v, n] <= min_baseline:

@@ -105,3 +105,14 @@ def test_cli_bundler_end_to_end(tmp_path):
     assert len(parsed2) == len(parsed)
     assert glob.glob(os.path.join(prof, "**", "*.xplane.pb"),
                      recursive=True), "no profiler trace captured"
+
+
+def test_parse_bool_reference_semantics():
+    """'-e 0' must disable (TCLAP istream>>bool semantics), not enable."""
+    import pytest
+    from line3d_tpu.cli import _parse_bool
+    assert _parse_bool("0") is False and _parse_bool("false") is False
+    assert _parse_bool("no") is False and _parse_bool("off") is False
+    assert _parse_bool("1") is True and _parse_bool("true") is True
+    with pytest.raises(Exception):
+        _parse_bool("maybe")

@@ -252,3 +252,54 @@ def test_warmed_bucket_preference():
     l3d._ready_buckets.add(4)
     l3d._build_scene()
     assert l3d.scene.max_segments == 160
+
+
+def test_zero_segment_views_skipped_and_duplicates_rejected():
+    """A view with zero segments is not registered (addImage returns
+    without creating the view, line3D.cc:188-198), and duplicate image ids
+    are rejected on every registration path (line3D.cc:111-115)."""
+    import pytest
+    syn = make_scene(num_views=6)
+    l3d = Line3D(config=L3DConfig())
+    l3d.add_view_segments(0, np.zeros((0, 4), np.float32),
+                          syn.cameras.K[0], syn.cameras.R[0],
+                          syn.cameras.t[0], worldpoint_ids=syn.wp_lists[0],
+                          width=640, height=480)
+    assert l3d.num_cameras() == 0
+    l3d.add_view_segments(1, syn.scene.segments[1][syn.scene.seg_mask[1]],
+                          syn.cameras.K[1], syn.cameras.R[1],
+                          syn.cameras.t[1], worldpoint_ids=syn.wp_lists[1],
+                          width=640, height=480)
+    with pytest.raises(ValueError):
+        l3d.add_view_segments(
+            1, syn.scene.segments[2][syn.scene.seg_mask[2]],
+            syn.cameras.K[2], syn.cameras.R[2], syn.cameras.t[2],
+            worldpoint_ids=syn.wp_lists[2], width=640, height=480)
+
+
+def test_visual_neighbors_external_id_order():
+    """Candidate iteration follows ascending EXTERNAL id (the reference's
+    std::map order): registering views out of id order must produce the
+    neighbor sets of the id-sorted problem."""
+    from line3d_tpu.scene import find_visual_neighbors
+    rng = np.random.RandomState(3)
+    V = 6
+    sim = rng.rand(V, V)
+    sim = (sim + sim.T) / 2
+    np.fill_diagonal(sim, 0)
+    # make the greedy accept order matter: near-zero baselines between
+    # some pairs so earlier-accepted neighbors block later candidates
+    C = rng.randn(V, 3)
+    C[3] = C[1] + 1e-6          # views 1 and 3 nearly coincide
+    bl = np.linalg.norm(C[:, None] - C[None, :], axis=2)
+
+    perm = np.array([4, 2, 0, 5, 1, 3])   # external ids of internal views
+    # ground truth: solve the problem in external-id (sorted) layout
+    inv = np.argsort(perm)
+    nb_sorted = find_visual_neighbors(sim[np.ix_(inv, inv)],
+                                      bl[np.ix_(inv, inv)], 0.25, 3)
+    got = find_visual_neighbors(sim, bl, 0.25, 3, ext_ids=perm)
+    for v in range(V):
+        # internal view v has external id perm[v] = sorted-layout index
+        e = np.sort(inv[nb_sorted[int(perm[v])]])
+        np.testing.assert_array_equal(np.sort(got[v]), e)
