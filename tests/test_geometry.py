@@ -103,3 +103,99 @@ def test_project_matches_camera():
     x = cams.K[2] @ (cams.R[2] @ X + cams.t[2])
     assert bool(valid)
     np.testing.assert_allclose(np.asarray(pix)[:2], (x / x[2])[:2], rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# property tests: invariants over random camera rigs (hypothesis)
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings, strategies as st
+
+
+def _random_rig(seed):
+    rng = np.random.RandomState(seed)
+    f = rng.uniform(300, 2000)
+    K = np.array([[f, 0, rng.uniform(200, 1000)],
+                  [0, f, rng.uniform(150, 800)],
+                  [0, 0, 1.0]])
+    def rot():
+        q = rng.randn(4); q /= np.linalg.norm(q)
+        w, x, y, z = q
+        return np.array([
+            [1 - 2*(y*y + z*z), 2*(x*y - z*w), 2*(x*z + y*w)],
+            [2*(x*y + z*w), 1 - 2*(x*x + z*z), 2*(y*z - x*w)],
+            [2*(x*z - y*w), 2*(y*z + x*w), 1 - 2*(x*x + y*y)]])
+    R1, R2 = rot(), rot()
+    t1, t2 = rng.randn(3), rng.randn(3)
+    return K, R1, t1, R2, t2, rng
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 10**6))
+def test_fundamental_epipolar_property(seed):
+    """x2^T F x1 = 0 for every 3D point visible in both random cameras
+    (fundamental_from_rt, line3D.cc:1968-1993)."""
+    K, R1, t1, R2, t2, rng = _random_rig(seed)
+    F = np.asarray(g.fundamental_from_rt(K, R1, t1, K, R2, t2))
+    for _ in range(5):
+        X = rng.randn(3) * 2
+        x1 = K @ (R1 @ X + t1)
+        x2 = K @ (R2 @ X + t2)
+        if abs(x1[2]) < 1e-3 or abs(x2[2]) < 1e-3:
+            continue
+        x1 /= x1[2]; x2 /= x2[2]
+        # residual is scale-dependent; normalize by the line magnitude
+        l = F @ x1
+        den = np.hypot(l[0], l[1])
+        if den < 1e-9:
+            continue
+        assert abs(x2 @ l) / den < 1e-6 * max(1, np.abs(x2).max())
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 10**6))
+def test_unproject_project_roundtrip_property(seed):
+    """project(unproject(p, depth)) == p for random pixels and depths."""
+    K, R1, t1, _, _, rng = _random_rig(seed)
+    RtKinv = R1.T @ np.linalg.inv(K)
+    C = -R1.T @ t1
+    Pmat = K @ np.concatenate([R1, t1[:, None]], axis=1)
+    p = np.array([rng.uniform(0, 1200), rng.uniform(0, 900), 1.0])
+    depth = rng.uniform(0.1, 50)
+    X = np.asarray(g.unproject(jnp.asarray(p), jnp.asarray(C),
+                               jnp.asarray(depth), jnp.asarray(RtKinv)))
+    q, ok = g.project(jnp.asarray(X), jnp.asarray(Pmat))
+    q = np.asarray(q)
+    assert bool(np.asarray(ok))
+    np.testing.assert_allclose(q[:2], p[:2], rtol=2e-4, atol=2e-3)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 10**6))
+def test_triangulation_depth_property(seed):
+    """Two rays through the projections of a common 3D point triangulate to
+    the true depths (D_get_triangulation_depth, cudawrapper.cu:306-335)."""
+    K, R1, t1, R2, t2, rng = _random_rig(seed)
+    C1, C2 = -R1.T @ t1, -R2.T @ t2
+    if np.linalg.norm(C1 - C2) < 0.3:
+        return                        # near-zero baseline: ill-posed
+    X = rng.randn(3) * 2
+    x1 = K @ (R1 @ X + t1)
+    x2 = K @ (R2 @ X + t2)
+    if x1[2] < 0.2 or x2[2] < 0.2:
+        return                        # behind a camera
+    p1 = x1 / x1[2]
+    p2 = x2 / x2[2]
+    M1 = R1.T @ np.linalg.inv(K)
+    M2 = R2.T @ np.linalg.inv(K)
+    d1, d2, ok = g.triangulation_depths(
+        jnp.asarray(p1, jnp.float32)[None],
+        jnp.asarray(p2, jnp.float32)[None],
+        jnp.asarray(C1, jnp.float32), jnp.asarray(C2, jnp.float32),
+        jnp.asarray(M1, jnp.float32), jnp.asarray(M2, jnp.float32))
+    if not bool(np.asarray(ok)[0]):
+        return                        # near-parallel rays
+    true1 = np.linalg.norm(X - C1)
+    true2 = np.linalg.norm(X - C2)
+    scale = max(true1, true2, 1.0)
+    assert abs(float(d1[0]) - true1) < 2e-2 * scale
+    assert abs(float(d2[0]) - true2) < 2e-2 * scale
