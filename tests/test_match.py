@@ -269,3 +269,35 @@ def test_collinearity_fast_matches_dense():
     key = (fast.flat_view.astype(np.int64) * S * S
            + fast.flat_i.astype(np.int64) * S + fast.flat_j)
     assert (np.diff(key) > 0).all()
+
+
+def test_support_threshold_plumbed():
+    """config.support_threshold must reach the scoring kernel: raising the
+    per-support gate can only lower confidences, and a gate above 1.0
+    (support conf is <= 1 per camera before summation) kills all scores."""
+    import jax.numpy as jnp
+    from line3d_tpu.config import L3DConfig
+    from line3d_tpu.core.conditioning import compute_conditioning
+    from line3d_tpu.match import engine
+    from line3d_tpu.scene import view_similarities_from_worldpoints, \
+        find_visual_neighbors
+    from synthetic import make_scene
+
+    syn = make_scene(num_views=8)
+    cams = syn.cameras
+    tr = compute_conditioning(cams.C)
+    cams.transform(tr.Qinv, tr.scale)
+    sim, _ = view_similarities_from_worldpoints(syn.wp_lists, 8)
+    neighbors = find_visual_neighbors(sim, cams.baselines(), 0.25, 4)
+
+    def n_best(support_t):
+        cfg = L3DConfig(use_collinearity=False, matching_neighbors=4,
+                        support_threshold=support_t)
+        _, best, _ = engine.run_matching(syn.scene, cams, neighbors, cfg)
+        return best.view.size
+
+    lo = n_best(0.5)
+    hi = n_best(0.99)
+    assert lo > 0
+    assert hi <= lo          # stricter gate cannot add best matches
+    assert n_best(1.01) == 0 # gate above the per-camera max kills all
