@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 EPS = 1e-12  # L3D_EPS_G (cudawrapper.h:43)
 
@@ -215,17 +216,40 @@ def fundamental_from_rt(K1, R1, t1, K2, R2, t2):
     """Fundamental matrix mapping cam-1 points to cam-2 epipolar lines.
 
     Mirrors Line3D::fundamental (line3D.cc:1968-1993): F = K2^-T [t]x R K1^-1
-    with R = R2 R1^T, t = t2 - R t1.  Works in whatever dtype the inputs are
-    (host code calls it in float64).
+    with R = R2 R1^T, t = t2 - R t1.
+
+    Dtype contract: pure-host (numpy) inputs run entirely in numpy and
+    preserve float64 — the reference computes F in Eigen doubles, and with
+    JAX x64 disabled a jnp path would silently truncate to float32.  Traced
+    or device inputs use jnp at HIGHEST matmul precision in the device dtype
+    (float32); production camera math lives in `core.cameras.CameraSet`
+    (numpy f64) either way.
     """
-    R = R2 @ jnp.swapaxes(R1, -1, -2)
-    t = t2 - jnp.einsum("...ij,...j->...i", R, t1)
+    args = (K1, R1, t1, K2, R2, t2)
+    if not any(isinstance(a, jax.Array) for a in args):
+        K1, R1, t1, K2, R2, t2 = (np.asarray(a) for a in args)
+        R = R2 @ np.swapaxes(R1, -1, -2)
+        t = t2 - np.einsum("...ij,...j->...i", R, t1)
+        zeros = np.zeros_like(t[..., 0])
+        Tx = np.stack([
+            np.stack([zeros, -t[..., 2], t[..., 1]], axis=-1),
+            np.stack([t[..., 2], zeros, -t[..., 0]], axis=-1),
+            np.stack([-t[..., 1], t[..., 0], zeros], axis=-1),
+        ], axis=-2)
+        E = Tx @ R
+        K2invT = np.swapaxes(np.linalg.inv(K2), -1, -2)
+        return K2invT @ E @ np.linalg.inv(K1)
+
+    hi = jax.lax.Precision.HIGHEST
+    R = jnp.einsum("...ij,...kj->...ik", R2, R1, precision=hi)
+    t = t2 - jnp.einsum("...ij,...j->...i", R, t1, precision=hi)
     zeros = jnp.zeros_like(t[..., 0])
     Tx = jnp.stack([
         jnp.stack([zeros, -t[..., 2], t[..., 1]], axis=-1),
         jnp.stack([t[..., 2], zeros, -t[..., 0]], axis=-1),
         jnp.stack([-t[..., 1], t[..., 0], zeros], axis=-1),
     ], axis=-2)
-    E = Tx @ R
+    E = jnp.einsum("...ij,...jk->...ik", Tx, R, precision=hi)
     K2invT = jnp.swapaxes(jnp.linalg.inv(K2), -1, -2)
-    return K2invT @ E @ jnp.linalg.inv(K1)
+    return jnp.einsum("...ij,...jk,...kl->...il", K2invT, E,
+                      jnp.linalg.inv(K1), precision=hi)
