@@ -1,27 +1,43 @@
-"""Benchmark: candidate line-pair affinities/sec/chip.
+"""Benchmark: pair-affinity rate + warm end-to-end images/s on one chip.
 
-Runs the full raw-matching stage (the TPU replacement for
-K_pairwise_matches PLUS the reference's host-side download/sort/offset
-build, cudawrapper.cu:538-611 and 923-1007) at production shape — 3072
-padded segments per view, 10 visual neighbors — on one chip and reports
-evaluated line-pair affinities per second: fused pairwise epipolar kernel,
-per-128-block key compaction, cross-neighbor merge, and depth recompute at
-the compacted shape.  Every stage's output feeds the timed reduction so
-nothing is dead-code-eliminated.
+Two numbers, one JSON line (driver contract):
+
+  * ``value`` (headline): candidate line-pair affinities/sec/chip — the full
+    raw-matching stage (the TPU replacement for K_pairwise_matches PLUS the
+    reference's host-side download/sort/offset build, cudawrapper.cu:538-611
+    and 923-1007) at production shape: 3072 padded segments per view, 10
+    visual neighbors.  Fused pairwise epipolar kernel, per-128-block key
+    compaction, cross-neighbor merge, depth recompute at the compacted
+    shape; every stage's output feeds the timed reduction so nothing is
+    dead-code-eliminated.
+  * ``e2e_images_per_sec_p25``: warm end-to-end images/s at the
+    Herz-Jesu-P25 shape (25 views x 2990 segments, 10 neighbors) — the
+    BASELINE.md north-star metric, covering detection-bypass scene build,
+    matching, scoring, selection, collinearity, affinity, clustering, and
+    line fitting (reference driver: cudawrapper.cu:858-1128 per view).
 
 Measurement protocol (required on this TPU tunnel backend, which memoizes
 repeated identical executions and whose per-dispatch overhead is ~15 ms):
-N kernel iterations run inside one device-side fori_loop with the input
-perturbed per iteration; the result is read back to host to force
-execution; per-iteration time = wall / N after a warm compile.
+the kernel benchmark runs N iterations inside one device-side fori_loop
+with the input perturbed per iteration and a host readback to force
+execution; the e2e benchmark perturbs the scene's segment coordinates per
+trial so no two dispatches are memoizable, and takes the best of 3 warm
+trials after a discarded cold (compile/load) run.
 
-Output: one JSON line {"metric", "value", "unit", "vs_baseline"}.
-The reference publishes no numbers (BASELINE.md); vs_baseline is measured
-against a nominal 1e9 pair-affinities/sec for the CUDA kernel on a 2015-era
-GPU (16x16 blocks over a 3000x3000 grid, a few hundred flops per pair).
+Tunnel health: the axon PJRT connect blocks forever without error when the
+relay is down (observed 2026-08-18).  Before touching the device in-process
+we probe with short subprocess attempts under exponential backoff, bounded
+by the watchdog window, so a transient blip doesn't zero the round but a
+real outage still exits non-zero promptly.
+
+vs_baseline is measured against a nominal (NOT measured — the reference
+publishes no numbers, BASELINE.md) 1e9 pair-affinities/sec for the CUDA
+kernel on a 2015-era GPU (16x16 blocks over a 3000x3000 grid, a few
+hundred flops per pair).
 """
 import json
 import os
+import subprocess
 import sys
 import threading
 import time
@@ -37,13 +53,21 @@ enable_persistent_cache()
 
 NOMINAL_BASELINE_PAIRS_PER_SEC = 1.0e9
 LOOP_N = 16
+E2E_VIEWS = 25
+E2E_SEGMENTS = 2990
 
-# Tunnel-outage watchdog: the axon PJRT connect can block forever with no
-# error when the relay is down (observed 2026-08-18, ~2h).  A healthy bench
-# finishes in well under 5 min warm and ~4 min on a cold remote compile;
-# if we are still running after the deadline, the tunnel is gone — exit
-# non-zero instead of stalling the driver indefinitely.
-BENCH_DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", 1200))
+# Watchdog: a healthy bench finishes in ~2 min warm and ~8 min on a cold
+# remote compile (the axon service compiles each new executable on first
+# execution, 40-160 s each, high variance).  If we are still running at the
+# deadline the tunnel died mid-run — exit non-zero instead of stalling the
+# driver indefinitely.
+BENCH_DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", 2100))
+# Minimum window the measured phase needs after probing succeeds (cold
+# remote compiles of the match + e2e programs dominate).
+MEASURE_RESERVE_S = float(os.environ.get("BENCH_MEASURE_RESERVE_S", 700))
+PROBE_TIMEOUT_S = 75   # one connect+tiny-program attempt (healthy: ~10 s)
+
+_PROBE_SRC = "import jax, jax.numpy as jnp; print(float(jnp.arange(8.0).sum()))"
 
 
 def _arm_watchdog(seconds):
@@ -52,8 +76,8 @@ def _arm_watchdog(seconds):
     def _trip():
         sys.stderr.write(
             f"[bench] watchdog: no result after {seconds:.0f}s — TPU "
-            "tunnel unreachable (PJRT connect blocks without error when "
-            "the axon relay is down); aborting\n")
+            "tunnel died mid-run (PJRT calls block without error when the "
+            "axon relay is down); aborting\n")
         sys.stderr.flush()
         os._exit(2)
     t = threading.Timer(seconds, _trip)
@@ -62,20 +86,53 @@ def _arm_watchdog(seconds):
     return t
 
 
-def main():
-    watchdog = _arm_watchdog(BENCH_DEADLINE_S)
+def _probe_once():
+    """One bounded tunnel-health attempt in a subprocess (a blocked PJRT
+    connect cannot be cancelled in-process; a child can be killed)."""
+    try:
+        out = subprocess.run([sys.executable, "-c", _PROBE_SRC],
+                             capture_output=True, text=True,
+                             timeout=PROBE_TIMEOUT_S)
+        return out.returncode == 0 and "28.0" in out.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _wait_for_tunnel(deadline):
+    """Bounded retry/backoff until the tunnel answers or the remaining
+    window is too small to finish a cold run anyway."""
+    delay = 10.0
+    attempt = 0
+    while True:
+        attempt += 1
+        t0 = time.time()
+        if _probe_once():
+            sys.stderr.write(f"[bench] tunnel ok (attempt {attempt}, "
+                             f"{time.time() - t0:.0f}s)\n")
+            return True
+        left = deadline - time.time()
+        if left < MEASURE_RESERVE_S + delay:
+            sys.stderr.write(
+                f"[bench] tunnel unreachable after {attempt} attempts and "
+                f"{left:.0f}s left in the window — giving up\n")
+            return False
+        sys.stderr.write(f"[bench] tunnel probe {attempt} failed; retrying "
+                         f"in {delay:.0f}s ({left:.0f}s left)\n")
+        time.sleep(delay)
+        delay = min(delay * 2, 120.0)
+
+
+def _bench_pair_rate(cfg):
+    """Pair-affinity rate at production shape (device-side fori_loop)."""
     import jax
     import jax.numpy as jnp
-    from line3d_tpu.config import L3DConfig
     from line3d_tpu.core.conditioning import compute_conditioning
     from line3d_tpu.scene import view_similarities_from_worldpoints, \
         find_visual_neighbors
     from line3d_tpu.utils.demo import make_demo_scene
     from line3d_tpu.match import pairwise
 
-    cfg = L3DConfig()
-    # ~3000 segments/view (the reference cap, commons.h:44), padded to 3072
-    scene, cams = make_demo_scene(num_views=12, num_random_segments=2990,
+    scene, cams = make_demo_scene(num_views=12, num_random_segments=E2E_SEGMENTS,
                                   config=cfg)
     tr = compute_conditioning(cams.C)
     cams.transform(tr.Qinv, tr.scale)
@@ -130,14 +187,69 @@ def main():
         times.append(time.perf_counter() - t0)
 
     per_iter = min(times) / LOOP_N
-    pairs = N * S * S
-    rate = pairs / per_iter
+    return N * S * S / per_iter
+
+
+def _bench_e2e(cfg_base):
+    """Warm end-to-end images/s at the Herz-Jesu-P25 shape.
+
+    Per-trial segment perturbation defeats the tunnel's result memoization
+    (identical program + identical inputs would return a cached answer).
+    """
+    from line3d_tpu import Line3D
+    from line3d_tpu.config import L3DConfig
+    from line3d_tpu.utils.demo import make_demo_scene
+
+    cfg = L3DConfig(stable_shapes=True)
+    scene, dcams = make_demo_scene(num_views=E2E_VIEWS,
+                                   num_random_segments=E2E_SEGMENTS,
+                                   config=cfg)
+
+    def run_once(jitter, warm):
+        l3d = Line3D(config=cfg)
+        if warm:
+            l3d.warmup_async(E2E_VIEWS, cfg.max_num_segments)
+        for v in range(scene.num_views):
+            segs = scene.segments[v][scene.seg_mask[v]] + np.float32(jitter)
+            l3d.add_view_segments(
+                v, segs, dcams.K[v], dcams.R[v], dcams.t[v],
+                worldpoint_ids=scene.wp_lists[v], width=1920, height=1440)
+        t1 = time.perf_counter()
+        res = l3d.compute_3d_model()
+        return time.perf_counter() - t1, len(res)
+
+    run_once(0.0, warm=True)                      # cold: compile + remote load
+    best, lines = np.inf, 0
+    for trial in range(3):
+        dt, nlines = run_once(1e-3 * (trial + 1), warm=False)
+        best, lines = min(best, dt), nlines
+    return E2E_VIEWS / best, best, lines
+
+
+def main():
+    deadline = time.time() + BENCH_DEADLINE_S
+    if BENCH_DEADLINE_S > 0 and not _wait_for_tunnel(deadline):
+        sys.exit(2)
+    watchdog = _arm_watchdog(deadline - time.time() if BENCH_DEADLINE_S > 0
+                             else 0)
+    from line3d_tpu.config import L3DConfig
+    cfg = L3DConfig()
+
+    rate = _bench_pair_rate(cfg)
+    e2e_ips, e2e_s, e2e_lines = _bench_e2e(cfg)
+
     watchdog.cancel()
     print(json.dumps({
         "metric": "line_pair_affinities_per_sec_per_chip",
         "value": rate,
         "unit": "pairs/s",
+        # nominal 2015-GPU estimate, NOT a measured CUDA number (the
+        # reference publishes none — BASELINE.md)
         "vs_baseline": rate / NOMINAL_BASELINE_PAIRS_PER_SEC,
+        "e2e_images_per_sec_p25": e2e_ips,
+        "e2e_warm_seconds_p25": e2e_s,
+        "e2e_num_lines": e2e_lines,
+        "e2e_shape": f"{E2E_VIEWS}x{E2E_SEGMENTS}",
     }))
 
 

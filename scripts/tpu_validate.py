@@ -103,7 +103,7 @@ def main():
     # ---- 4. bench metric -------------------------------------------------
     import subprocess
     out = subprocess.run([sys.executable, "bench.py"], capture_output=True,
-                         text=True, timeout=1200)
+                         text=True, timeout=2400)
     print(f"[4] bench: {out.stdout.strip() or out.stderr.strip()}")
 
 
