@@ -147,3 +147,62 @@ def test_sharded_diffusion_matches_host():
     np.testing.assert_array_equal(hi, di)
     np.testing.assert_array_equal(hj, dj)
     np.testing.assert_allclose(hw, dw, rtol=5e-4, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# Partitioning regression guard: the view scan must live INSIDE shard_map.
+#
+# A bare lax.map/scan OVER a mesh-sharded axis does NOT partition — XLA
+# cannot split a scan over its scanned dimension, so every device would run
+# all Vp iterations on gathered data: results stay correct and CPU-mesh
+# equivalence tests (above) pass, but multi-chip scaling is silently zero.
+# The only observable is the compiled/lowered program itself, so this test
+# lowers sharded_match_all_views and pins the per-shard local shapes
+# (leading dim Vp/n) inside the manual-computation region.
+# ---------------------------------------------------------------------------
+
+def _lowered_text(setup, n_dev, Vp):
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    syn, cams, cfg, neighbors = setup
+    scene = syn.scene
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("views",))
+    segments, seg_mask, stacks, nb_ids = sharded.build_stacks(
+        scene, cams, neighbors, cfg, num_pad_views=Vp)
+    lowered = sharded.sharded_match_all_views.lower(
+        jnp.asarray(segments), jnp.asarray(seg_mask),
+        {k: jnp.asarray(v) for k, v in stacks.items()},
+        jnp.float32(cfg.sigma_p), jnp.float32(cfg.sigma_a),
+        jnp.float32(cfg.confidence_threshold),
+        quota=cfg.match_block_quota, m_total=32, row_chunk=32, k_export=64,
+        mesh=mesh, packed=True)
+    return lowered.as_text(), nb_ids.shape[1]
+
+
+@pytest.mark.parametrize("n_dev", [8, 4])
+def test_view_scan_partitions_over_mesh(setup, n_dev):
+    Vp = 16
+    txt, n_max = _lowered_text(setup, n_dev, Vp)
+
+    # the program must contain a manual (per-shard) computation at all
+    markers = [m for m in ("sdy.manual_computation", "SPMDFullToShardShape")
+               if m in txt]
+    assert markers, "no shard_map region in the lowered program"
+
+    # the per-view metadata stacks must appear at their LOCAL shape
+    # (leading dim Vp/n) — the scan trip count each device actually runs
+    local = f"tensor<{Vp // n_dev}x{n_max}x3x3xf32"
+    assert local in txt, (
+        f"local F_nb stack {local} absent — the view scan is not "
+        f"partitioned over the {n_dev}-device mesh")
+
+    # and the manual region must NOT scan the full-shape stack: that is
+    # exactly the every-device-runs-all-views failure mode
+    if "sdy.manual_computation" in txt:
+        start = txt.index("sdy.manual_computation")
+        end = txt.index("sdy.return", start)
+        body = txt[start:end]
+        full = f"tensor<{Vp}x{n_max}x3x3xf32"
+        assert full not in body, (
+            "full-shape neighbor stack inside the shard_map body — the "
+            "scan runs all Vp views on every device")
