@@ -404,7 +404,16 @@ class Line3D:
             best, matches, scene.collin, cams, cfg, scene.max_segments,
             verbose=self.verbose)
         if diffu and graph.num_nodes:
-            graph = diffusion_mod.run_diffusion(graph, cfg, self.verbose)
+            # device backend: shard the [E]-vector diffusion over the mesh
+            # (performDiffusion, line3D.cc:1255-1303 — whose GPU version is
+            # capped at ~1000 images by single-device memory,
+            # README.txt:144-146; the edge-sharded plan removes that)
+            d_mesh = None
+            if cfg.diffusion_backend == "device":
+                from .parallel import mesh as mesh_mod
+                d_mesh = mesh_mod.make_view_mesh()
+            graph = diffusion_mod.run_diffusion(graph, cfg, self.verbose,
+                                                mesh=d_mesh)
         if graph.num_nodes:
             labels = fh.fh_cluster(graph.edges_i, graph.edges_j,
                                    graph.edges_w, graph.num_nodes, cfg.fh_c)

@@ -14,16 +14,22 @@ then review the diff and commit the new golden.
 import os
 
 import numpy as np
+import pytest
 
 from line3d_tpu import Line3D, L3DConfig
 from synthetic import make_scene
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-GOLDEN = os.path.join(HERE, "golden", "house10.txt")
 
 
-def _run_pipeline(tmp_path):
-    syn = make_scene(num_views=10)
+def _run_pipeline(tmp_path, diffusion):
+    # the diffusion golden uses a noisy scene: on the clean house the RDD
+    # reweighting changes no cluster (output identical to diffusion-off),
+    # which would pin nothing; at 0.8 px endpoint noise diffusion provably
+    # alters the final model (17 -> 16 lines), so this golden covers the
+    # diffuse -> symmetrize -> cluster path end-to-end
+    syn = make_scene(num_views=10, noise_px=0.8 if diffusion else 0.0,
+                     seed=3 if diffusion else 0)
     l3d = Line3D(config=L3DConfig(use_collinearity=True))
     for v in range(syn.scene.num_views):
         l3d.add_view_segments(
@@ -32,7 +38,7 @@ def _run_pipeline(tmp_path):
             worldpoint_ids=syn.wp_lists[v],
             width=int(syn.cameras.width[v]),
             height=int(syn.cameras.height[v]))
-    result = l3d.compute_3d_model(perform_diffusion=False)
+    result = l3d.compute_3d_model(perform_diffusion=diffusion)
     out = str(tmp_path / "model.txt")
     l3d.save_3d_lines_as_txt(result, out)
     return out
@@ -45,8 +51,16 @@ def _tokens(path):
                 yield ln, tok
 
 
-def test_golden_txt(tmp_path):
-    out = _run_pipeline(tmp_path)
+# the diffusion-ON golden is the Castle-P30-config analogue (the reference
+# enables RDD via -d for large scenes, performDiffusion line3D.cc:1255-1303);
+# it pins the host float64 reference-mode RDD through clustering and fit
+@pytest.mark.parametrize("diffusion,golden_name", [
+    (False, "house10.txt"),
+    (True, "house10_diffusion.txt"),
+])
+def test_golden_txt(tmp_path, diffusion, golden_name):
+    GOLDEN = os.path.join(HERE, "golden", golden_name)
+    out = _run_pipeline(tmp_path, diffusion)
     if os.environ.get("GOLDEN_UPDATE") == "1" or not os.path.exists(GOLDEN):
         os.makedirs(os.path.dirname(GOLDEN), exist_ok=True)
         with open(out) as f:

@@ -92,3 +92,41 @@ def test_pipeline_with_diffusion(pipeline_result):
     errs, recovered = _line_errors(syn, res_diff)
     assert len(res_diff) >= 6
     assert np.median(errs) < 0.05
+
+
+def test_pipeline_device_diffusion_e2e():
+    """Diffusion ON with diffusion_backend="device" must run sharded
+    end-to-end over the 8-device mesh and reproduce the host backend's
+    final 3D model (performDiffusion, line3D.cc:1255-1303; the host path
+    is float64, the device path float32 — cluster structure must agree)."""
+    import dataclasses
+
+    syn = make_scene(num_views=10)
+
+    def run(backend):
+        cfg = dataclasses.replace(
+            L3DConfig(use_collinearity=True), perform_diffusion=True,
+            diffusion_backend=backend)
+        l3d = Line3D(config=cfg)
+        for v in range(syn.scene.num_views):
+            l3d.add_view_segments(
+                v, syn.scene.segments[v][syn.scene.seg_mask[v]],
+                syn.cameras.K[v], syn.cameras.R[v], syn.cameras.t[v],
+                worldpoint_ids=syn.wp_lists[v],
+                width=int(syn.cameras.width[v]),
+                height=int(syn.cameras.height[v]))
+        return l3d.compute_3d_model()
+
+    res_host = run("host")
+    res_dev = run("device")
+
+    assert len(res_dev) == len(res_host)
+    # identical cluster structure: the same 2D segments grouped per line
+    def keysets(res):
+        return sorted(frozenset(zip(r.views2d.tolist(), r.segs2d.tolist()))
+                      for r in res)
+    assert keysets(res_dev) == keysets(res_host)
+    # and the geometry is as good as the host run's
+    errs, recovered = _line_errors(syn, res_dev)
+    assert np.median(errs) < 0.05
+    assert len(recovered) >= 8
