@@ -196,11 +196,18 @@ def _bench_e2e(cfg_base):
     Per-trial segment perturbation defeats the tunnel's result memoization
     (identical program + identical inputs would return a cached answer).
     """
+    import contextlib
+
     from line3d_tpu import Line3D
     from line3d_tpu.config import L3DConfig
     from line3d_tpu.utils.demo import make_demo_scene
 
-    cfg = L3DConfig(stable_shapes=True)
+    # uncapped_fallback off: the demo scene's random segments saturate the
+    # 256-slot cap by construction (mean 233/256 — CLAUDE.md), so the
+    # reference-exactness fallback would re-match every view and measure a
+    # different program.  The bench pins the capped production path; the
+    # drop rate rides along in the JSON (e2e_match_overflow).
+    cfg = L3DConfig(stable_shapes=True, uncapped_fallback=False)
     scene, dcams = make_demo_scene(num_views=E2E_VIEWS,
                                    num_random_segments=E2E_SEGMENTS,
                                    config=cfg)
@@ -215,15 +222,17 @@ def _bench_e2e(cfg_base):
                 v, segs, dcams.K[v], dcams.R[v], dcams.t[v],
                 worldpoint_ids=scene.wp_lists[v], width=1920, height=1440)
         t1 = time.perf_counter()
-        res = l3d.compute_3d_model()
-        return time.perf_counter() - t1, len(res)
+        # the overflow warning prints to stdout; keep stdout JSON-only
+        with contextlib.redirect_stdout(sys.stderr):
+            res = l3d.compute_3d_model()
+        return time.perf_counter() - t1, len(res), l3d.stats
 
     run_once(0.0, warm=True)                      # cold: compile + remote load
-    best, lines = np.inf, 0
+    best, lines, stats = np.inf, 0, {}
     for trial in range(3):
-        dt, nlines = run_once(1e-3 * (trial + 1), warm=False)
+        dt, nlines, stats = run_once(1e-3 * (trial + 1), warm=False)
         best, lines = min(best, dt), nlines
-    return E2E_VIEWS / best, best, lines
+    return E2E_VIEWS / best, best, lines, int(stats.get("match_overflow", 0))
 
 
 def main():
@@ -236,7 +245,7 @@ def main():
     cfg = L3DConfig()
 
     rate = _bench_pair_rate(cfg)
-    e2e_ips, e2e_s, e2e_lines = _bench_e2e(cfg)
+    e2e_ips, e2e_s, e2e_lines, e2e_overflow = _bench_e2e(cfg)
 
     watchdog.cancel()
     print(json.dumps({
@@ -250,6 +259,7 @@ def main():
         "e2e_warm_seconds_p25": e2e_s,
         "e2e_num_lines": e2e_lines,
         "e2e_shape": f"{E2E_VIEWS}x{E2E_SEGMENTS}",
+        "e2e_match_overflow": e2e_overflow,
     }))
 
 

@@ -87,6 +87,16 @@ class L3DConfig:
     # is (S/128)*quota.  Key-only block compaction is ~6x cheaper on TPU
     # than tightly packing rows; overflow is counted and reported.
     match_block_quota: int = 8
+    # Reference-exactness guard for the two caps above.  The reference
+    # keeps every raw match (unbounded std::list, cudawrapper.cu:923-1007);
+    # the caps can only DROP gate-passing matches, so overflow == 0 implies
+    # the capped result is bit-identical to uncapped.  With this flag on
+    # (default), views whose overflow counter is nonzero are re-matched at
+    # their exact gate-passing capacity (scoring/selection/median are
+    # view-local, so the patched result equals a fully uncapped run);
+    # with it off, overflow is only warned about — the capped result is
+    # the production path at maximum throughput.
+    uncapped_fallback: bool = True
     # Segment-count padding granularity (TPU lane width).
     pad_multiple: int = 128
     # View-count padding granularity for the batched/sharded engine.

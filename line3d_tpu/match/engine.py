@@ -143,6 +143,103 @@ def _best_rows_f64(scene: Scene, cameras: CameraSet, v: int, bs, d1, d2,
                 d2=np.asarray(d2, np.float32))
 
 
+class _ViewContext:
+    """Shared f32 device views of a scene for per-view matching calls."""
+
+    def __init__(self, scene: Scene, cameras: CameraSet, config: L3DConfig,
+                 n_max: int):
+        self.scene, self.cameras, self.config = scene, cameras, config
+        self.n_max = n_max
+        self.segs_f32 = np.asarray(scene.segments, np.float32)
+        self.mask = np.asarray(scene.seg_mask)
+        self.RtKinv32 = cameras.f32("RtKinv")
+        self.C32 = cameras.f32("C")
+        self.P32 = cameras.f32("P")
+        self.spatial_ks = cameras.spatial_uncertainty_k(2.0 * config.sigma_p)
+
+    def neighbor_arrays(self, v: int, nb: np.ndarray):
+        F = self.cameras.fundamentals_for_pairs(
+            np.stack([np.full(len(nb), v), nb], axis=1)).astype(np.float32)
+        padded = _pad_neighbors(
+            [self.segs_f32[nb], self.mask[nb], F, self.RtKinv32[nb],
+             self.C32[nb], self.P32[nb]], self.n_max)
+        nb_mask = np.zeros(self.n_max, bool)
+        nb_mask[:len(nb)] = True
+        return padded, nb_mask
+
+
+def _match_one_view(ctx: _ViewContext, v: int, nb: np.ndarray,
+                    quota: int, m_total: int):
+    """One view's device matching step at the given caps; host numpy out."""
+    (segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, P_nb), nb_mask = \
+        ctx.neighbor_arrays(v, nb)
+    S = ctx.scene.max_segments
+    cam, tgt, depths, valid, conf, overflow = _match_and_score_view(
+        ctx.segs_f32[v], ctx.mask[v], ctx.RtKinv32[v], ctx.C32[v],
+        segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, P_nb, nb_mask,
+        np.float32(ctx.config.sigma_p), np.float32(ctx.config.sigma_a),
+        np.float32(ctx.spatial_ks[v]),
+        quota=quota, m_total=m_total, row_chunk=min(128, S),
+        support_t=float(ctx.config.support_threshold))
+    return (np.asarray(cam), np.asarray(tgt), np.asarray(depths),
+            np.asarray(valid), np.asarray(conf), int(overflow))
+
+
+def _select_view_outputs(ctx: _ViewContext, v: int, nb: np.ndarray,
+                         cam, tgt, depths, valid, conf, overflow: int,
+                         verbose: bool = False):
+    """Host-side selection for one view's match table: median depth,
+    confidence filter, best-per-segment (cudawrapper.cu:1025-1110;
+    greedySelection, line3D.cc:899-965).
+
+    Returns (ViewMatches, best_row_dict | None, median_depth)."""
+    scene, cameras, config = ctx.scene, ctx.cameras, ctx.config
+
+    # --- median depth (cudawrapper.cu:1025-1076) --------------------
+    median_depth = 1.0
+    conf_m = np.where(valid, conf, -np.inf)
+    max_conf = conf_m.max(axis=1)
+    arg = conf_m.argmax(axis=1)  # first max (ties)
+    has = max_conf > config.confidence_threshold / 2.0
+    if has.any():
+        rows = np.nonzero(has)[0]
+        dsel = depths[rows, arg[rows]][:, :2]   # (d1, d2) per segment
+        dall = dsel.reshape(-1)                 # seg-order, d1 then d2
+        dall_sorted = np.sort(dall, kind="stable")
+        median_depth = float(dall_sorted[len(dall_sorted) // 2])
+
+    # --- confidence filter (cudawrapper.cu:1089-1110) ----------------
+    keep = valid & (conf > config.confidence_threshold)
+    si, mi = np.nonzero(keep)
+    vm = ViewMatches(
+        view=v,
+        src_seg=si.astype(np.int32),
+        tgt_view=nb[cam[si, mi]].astype(np.int32),
+        tgt_seg=tgt[si, mi].astype(np.int32),
+        depths=depths[si, mi],
+        confidence=(conf[si, mi] / config.confidence_norm).astype(np.float32),
+        overflow=int(overflow))
+
+    # --- best match per segment (greedySelection) --------------------
+    best_row = None
+    conf_f = np.where(keep, conf, -np.inf)
+    bmax = conf_f.max(axis=1)
+    barg = conf_f.argmax(axis=1)
+    bs = np.nonzero(bmax > -np.inf)[0]
+    if len(bs):
+        bm = barg[bs]
+        bconf = np.minimum(conf[bs, bm] / config.confidence_norm, 1.0)
+        best_row = _best_rows_f64(
+            scene, cameras, v, bs,
+            depths[bs, bm, 0], depths[bs, bm, 1], bconf,
+            nb[cam[bs, bm]], tgt[bs, bm])
+
+    if verbose:
+        print(f"[L3D] view {v}: {len(si)} verified matches, "
+              f"median_depth={median_depth:.4f}, overflow={int(overflow)}")
+    return vm, best_row, median_depth
+
+
 def run_matching(scene: Scene, cameras: CameraSet, neighbors: list,
                  config: L3DConfig, verbose: bool = False):
     """Match + verify every view against its visual neighbors.
@@ -156,13 +253,7 @@ def run_matching(scene: Scene, cameras: CameraSet, neighbors: list,
     if n_max == 0:
         return [], _empty_best(), np.ones(V)
 
-    segs_f32 = np.asarray(scene.segments, np.float32)
-    mask = np.asarray(scene.seg_mask)
-    RtKinv32 = cameras.f32("RtKinv")
-    C32 = cameras.f32("C")
-    P32 = cameras.f32("P")
-
-    spatial_ks = cameras.spatial_uncertainty_k(2.0 * config.sigma_p)
+    ctx = _ViewContext(scene, cameras, config, n_max)
 
     all_matches = []
     best_rows = []
@@ -172,74 +263,136 @@ def run_matching(scene: Scene, cameras: CameraSet, neighbors: list,
         nb = np.asarray(neighbors[v], np.int64)
         if len(nb) == 0:
             continue
-        F = cameras.fundamentals_for_pairs(
-            np.stack([np.full(len(nb), v), nb], axis=1)).astype(np.float32)
-        (segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, P_nb) = _pad_neighbors(
-            [segs_f32[nb], mask[nb], F, RtKinv32[nb], C32[nb], P32[nb]],
-            n_max)
-        nb_mask = np.zeros(n_max, bool)
-        nb_mask[:len(nb)] = True
-
-        cam, tgt, depths, valid, conf, overflow = _match_and_score_view(
-            segs_f32[v], mask[v], RtKinv32[v], C32[v],
-            segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, P_nb, nb_mask,
-            np.float32(config.sigma_p), np.float32(config.sigma_a),
-            np.float32(spatial_ks[v]),
-            quota=config.match_block_quota,
-            m_total=min(config.max_matches_per_segment, S),
-            row_chunk=min(128, S),
-            support_t=float(config.support_threshold))
-        cam = np.asarray(cam)
-        tgt = np.asarray(tgt)
-        depths = np.asarray(depths)
-        valid = np.asarray(valid)
-        conf = np.asarray(conf)
-
-        # --- median depth (cudawrapper.cu:1025-1076) --------------------
-        conf_m = np.where(valid, conf, -np.inf)
-        max_conf = conf_m.max(axis=1)
-        arg = conf_m.argmax(axis=1)  # first max (ties)
-        has = max_conf > config.confidence_threshold / 2.0
-        if has.any():
-            rows = np.nonzero(has)[0]
-            dsel = depths[rows, arg[rows]][:, :2]   # (d1, d2) per segment
-            dall = dsel.reshape(-1)                 # seg-order, d1 then d2
-            dall_sorted = np.sort(dall, kind="stable")
-            median_depths[v] = float(dall_sorted[len(dall_sorted) // 2])
+        # a segment can match up to S targets in each of n_max neighbors,
+        # so n_max*S (not S) is the true uncapped per-segment capacity
+        outs = _match_one_view(ctx, v, nb,
+                               quota=config.match_block_quota,
+                               m_total=min(config.max_matches_per_segment,
+                                           n_max * S))
+        vm, best_row, median_depths[v] = _select_view_outputs(
+            ctx, v, nb, *outs, verbose=verbose)
         cameras.median_depth[v] = median_depths[v]
-
-        # --- confidence filter (cudawrapper.cu:1089-1110) ----------------
-        keep = valid & (conf > config.confidence_threshold)
-        si, mi = np.nonzero(keep)
-        vm = ViewMatches(
-            view=v,
-            src_seg=si.astype(np.int32),
-            tgt_view=nb[cam[si, mi]].astype(np.int32),
-            tgt_seg=tgt[si, mi].astype(np.int32),
-            depths=depths[si, mi],
-            confidence=(conf[si, mi] / config.confidence_norm).astype(np.float32),
-            overflow=int(overflow))
         all_matches.append(vm)
-
-        # --- best match per segment (greedySelection) --------------------
-        conf_f = np.where(keep, conf, -np.inf)
-        bmax = conf_f.max(axis=1)
-        barg = conf_f.argmax(axis=1)
-        bs = np.nonzero(bmax > -np.inf)[0]
-        if len(bs):
-            bm = barg[bs]
-            bconf = np.minimum(conf[bs, bm] / config.confidence_norm, 1.0)
-            best_rows.append(_best_rows_f64(
-                scene, cameras, v, bs,
-                depths[bs, bm, 0], depths[bs, bm, 1], bconf,
-                nb[cam[bs, bm]], tgt[bs, bm]))
-
-        if verbose:
-            print(f"[L3D] view {v}: {len(si)} verified matches, "
-                  f"median_depth={median_depths[v]:.4f}, overflow={int(overflow)}")
+        if best_row is not None:
+            best_rows.append(best_row)
 
     best = _concat_best(best_rows)
     return all_matches, best, median_depths
+
+
+@functools.partial(jax.jit)
+def _count_view_matches(segs_src, mask_src, RtKinv_src, C_src,
+                        segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, nb_mask):
+    """Exact per-(neighbor, src segment) gate-passing match counts [N, S] —
+    the capacity an uncapped run needs (the reference's unbounded list
+    length, cudawrapper.cu:923-944).  Cheap: the pair gates only, no
+    compaction/scoring."""
+    if pairwise.use_pallas():
+        from . import pairwise_pallas
+        pair_fn = pairwise_pallas.match_pair_valid_pallas
+    else:
+        pair_fn = lambda *a: pairwise.match_pair_dense(*a)[1]  # noqa: E731
+
+    def step(carry, nb):
+        segs_t, mask_t, F, RtKinv_t, C_t = nb
+        valid = pair_fn(segs_src, segs_t, mask_src, mask_t,
+                        F, RtKinv_src, RtKinv_t, C_src, C_t, 0.10, 0.30)
+        return carry, jnp.sum(valid, axis=1).astype(jnp.int32)
+
+    _, nv = jax.lax.scan(
+        step, None, (segs_nb, mask_nb & nb_mask[:, None],
+                     F_nb, RtKinv_nb, C_nb))
+    return nv
+
+
+def rematch_views_exact(scene: Scene, cameras: CameraSet, neighbors: list,
+                        config: L3DConfig, views, verbose: bool = False):
+    """Re-match `views` with caps raised to their exact gate-passing
+    capacity — reference semantics (every raw match kept,
+    cudawrapper.cu:923-1007).
+
+    Scoring, selection, and the median depth are view-local (support comes
+    only from the view's own match table), so re-running just the
+    overflowing views at sufficient capacity reproduces a fully uncapped
+    run bit-for-bit.  The capacity is measured first with a cheap counting
+    program, then rounded up to a power of two so repeated fallbacks reuse
+    compiled executables.
+
+    Returns {view: (ViewMatches, best_row | None, median_depth)}.
+    """
+    n_max = max((len(n) for n in neighbors), default=0)
+    ctx = _ViewContext(scene, cameras, config, n_max)
+    S = scene.max_segments
+    out = {}
+    for v in views:
+        nb = np.asarray(neighbors[v], np.int64)
+        if len(nb) == 0:
+            continue
+        (segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, _P_nb), nb_mask = \
+            ctx.neighbor_arrays(v, nb)
+        nv = np.asarray(_count_view_matches(
+            ctx.segs_f32[v], ctx.mask[v], ctx.RtKinv32[v], ctx.C32[v],
+            segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, nb_mask))
+        need = int(nv.sum(axis=0).max())
+        # pow2 bucket -> few distinct executables; quota=128 disables the
+        # per-block cap entirely (compact_rows_blockq clamps to the block)
+        m_total = 1 << max(int(np.ceil(np.log2(max(need, 1)))), 0)
+        m_total = min(m_total, n_max * S)
+        outs = _match_one_view(ctx, v, nb, quota=128, m_total=m_total)
+        if outs[5] != 0:
+            raise AssertionError(
+                f"uncapped rematch of view {v} still overflowed "
+                f"({outs[5]}) at capacity {m_total} (needed {need})")
+        if verbose:
+            print(f"[L3D] view {v}: re-matched uncapped "
+                  f"(capacity {need} -> m_total {m_total})")
+        out[v] = _select_view_outputs(ctx, v, nb, *outs, verbose=verbose)
+    return out
+
+
+def apply_uncapped_fallback(matches, best, median_depths,
+                            scene: Scene, cameras: CameraSet,
+                            neighbors: list, config: L3DConfig,
+                            verbose: bool = False):
+    """Reference-exactness guard over a finished matching pass.
+
+    Views whose overflow counter is zero are provably identical to an
+    uncapped run (the caps only drop matches).  For the rest, re-match at
+    exact capacity (rematch_views_exact) and splice the per-view results.
+
+    Returns (matches, best, median_depths, num_rematched)."""
+    over = [vm.view for vm in matches if vm.overflow > 0]
+    if not over:
+        return matches, best, median_depths, 0
+    if verbose:
+        print(f"[L3D] uncapped fallback: re-matching {len(over)} "
+              f"overflowing view(s) {over}")
+    repl = rematch_views_exact(scene, cameras, neighbors, config, over,
+                               verbose=verbose)
+
+    matches = [repl[vm.view][0] if vm.view in repl else vm for vm in matches]
+    median_depths = median_depths.copy()
+    for v, (_vm, _row, med) in repl.items():
+        median_depths[v] = med
+        cameras.median_depth[v] = med
+
+    # rebuild BestMatches in view-ascending order (the concatenation order
+    # is part of the downstream determinism contract), taking each view's
+    # rows from the replacement when one exists
+    views_all = sorted({int(x) for x in np.unique(best.view)} | set(repl))
+    rows = []
+    for v in views_all:
+        if v in repl:
+            if repl[v][1] is not None:
+                rows.append(repl[v][1])
+        else:
+            m = best.view == v
+            rows.append(dict(view=best.view[m], seg=best.seg[m],
+                             tgt_view=best.tgt_view[m],
+                             tgt_seg=best.tgt_seg[m], score=best.score[m],
+                             P1=best.P1[m], P2=best.P2[m], dir=best.dir[m],
+                             d1=best.d1[m], d2=best.d2[m]))
+    return matches, _concat_best(rows), median_depths, len(over)
 
 
 def dispatch_matching_sharded(scene: Scene, cameras: CameraSet,
@@ -279,14 +432,14 @@ def dispatch_matching_sharded(scene: Scene, cameras: CameraSet,
     if warm_only:
         stacks["view_active"] = np.zeros_like(stacks["view_active"])
 
-    k_export = min(S * k_export_per_seg,
-                   S * min(config.max_matches_per_segment, S))
+    m_total = min(config.max_matches_per_segment, n_max * S)
+    k_export = min(S * k_export_per_seg, S * m_total)
     buf = sharded.sharded_match_all_views(
         segments, seg_mask, stacks,
         np.float32(config.sigma_p), np.float32(config.sigma_a),
         np.float32(config.confidence_threshold),
         quota=config.match_block_quota,
-        m_total=min(config.max_matches_per_segment, S),
+        m_total=m_total,
         row_chunk=min(128, S),
         k_export=k_export,
         support_t=float(config.support_threshold),

@@ -396,6 +396,26 @@ class Line3D:
             matches, best, med = engine.run_matching(
                 scene, cams, self.neighbors, cfg, verbose=self.verbose)
             self._warmup_refs = []
+        # reference-exactness guard: the match caps can only drop
+        # gate-passing matches, so overflow == 0 proves the capped result
+        # equals an uncapped run; overflowing views are either re-matched
+        # at exact capacity (uncapped_fallback, the default — reference
+        # semantics, cudawrapper.cu:923-1007) or warned about
+        n_rematched = 0
+        overflow_total = sum(vm.overflow for vm in matches)
+        if overflow_total:
+            if cfg.uncapped_fallback:
+                matches, best, med, n_rematched = \
+                    engine.apply_uncapped_fallback(
+                        matches, best, med, scene, cams, self.neighbors,
+                        cfg, verbose=self.verbose)
+            else:
+                print(f"[L3D] WARNING: match caps dropped "
+                      f"{overflow_total} gate-passing matches across "
+                      f"{sum(vm.overflow > 0 for vm in matches)} view(s) "
+                      f"(uncapped_fallback off — results may differ from "
+                      f"the reference; raise max_matches_per_segment / "
+                      f"match_block_quota)")
         t_collin = t1 - t0
         t2 = time.time()
 
@@ -433,7 +453,9 @@ class Line3D:
             num_lines=len(self.result),
             t_detect=self.stats.get("t_detect", 0.0),
             t_setup=t_collin - t_graph, t_graph=t_graph,
-            t_match=t2 - t1, t_cluster=t3 - t2, t_total=t3 - t0)
+            t_match=t2 - t1, t_cluster=t3 - t2, t_total=t3 - t0,
+            match_overflow=int(overflow_total),
+            views_rematched_uncapped=int(n_rematched))
         if self.verbose:
             print(f"[L3D] {len(self.result)} 3D lines found! "
                   f"(match {t2-t1:.2f}s, cluster {t3-t2:.2f}s)")

@@ -70,7 +70,9 @@ def main():
     from line3d_tpu import Line3D, L3DConfig
     from line3d_tpu.utils.demo import make_demo_scene
     for nviews in (12, 25):
-        cfg = L3DConfig(stable_shapes=True)
+        # fallback off: the demo scene saturates the match caps by
+        # construction; README timings are for the capped production path
+        cfg = L3DConfig(stable_shapes=True, uncapped_fallback=False)
         scene, dcams = make_demo_scene(num_views=nviews,
                                        num_random_segments=2990, config=cfg)
 

@@ -1,0 +1,190 @@
+"""Match-capacity correctness: the TPU shape caps must not change results.
+
+The reference keeps every raw match in an unbounded list
+(cudawrapper.cu:923-1007); line3d_tpu caps the per-segment match table
+(max_matches_per_segment, match_block_quota) for fixed shapes.  The
+contract under test:
+
+  * overflow == 0  =>  the capped result is bit-identical to uncapped
+    (caps can only drop matches — nothing else in the program depends on
+    the capacity),
+  * overflow  > 0  =>  the uncapped_fallback re-matches exactly those
+    views at true capacity and restores reference semantics end-to-end.
+
+These tests FAIL if a cap silently drops result-changing matches.
+"""
+import dataclasses
+
+import numpy as np
+import pytest
+
+from line3d_tpu import Line3D, L3DConfig
+from line3d_tpu.core.conditioning import compute_conditioning
+from line3d_tpu.match import engine
+from line3d_tpu.scene import Scene, view_similarities_from_worldpoints, \
+    find_visual_neighbors
+from synthetic import make_scene
+
+
+def _dense_syn(num_views=8, copies=6, jitter=1.5, seed=11):
+    """Synthetic scene with each 2D segment duplicated `copies`x with
+    pixel jitter: the duplicates are epipolar-consistent with each other,
+    so per-segment gate-passing match counts grow ~copies^2 and saturate
+    small caps (the regime CLAUDE.md records for the demo scene: 233/256
+    slots used)."""
+    syn = make_scene(num_views=num_views)
+    rng = np.random.default_rng(seed)
+    seg_lists = []
+    for v in range(syn.scene.num_views):
+        segs = syn.scene.segments[v][syn.scene.seg_mask[v]]
+        reps = [segs]
+        for _ in range(copies - 1):
+            reps.append(segs + rng.normal(0, jitter, segs.shape)
+                        .astype(np.float32))
+        seg_lists.append(np.concatenate(reps, axis=0))
+    dense = dataclasses.replace(
+        syn, scene=Scene.from_ragged(seg_lists, syn.cameras,
+                                     wp_lists=syn.wp_lists))
+    return dense
+
+
+def _setup(syn, cfg):
+    cams = syn.cameras
+    tr = compute_conditioning(cams.C)
+    cams.transform(tr.Qinv, tr.scale)
+    sim, _ = view_similarities_from_worldpoints(syn.wp_lists,
+                                                syn.scene.num_views)
+    neighbors = find_visual_neighbors(sim, cams.baselines(),
+                                      cfg.min_baseline, 4)
+    return cams, neighbors
+
+
+def _match_key(vm):
+    return (vm.view, sorted(zip(vm.src_seg.tolist(), vm.tgt_view.tolist(),
+                                vm.tgt_seg.tolist())))
+
+
+def _best_key(best):
+    return {(int(v), int(s)): (int(tv), int(ts), round(float(sc), 6))
+            for v, s, tv, ts, sc in zip(best.view, best.seg, best.tgt_view,
+                                        best.tgt_seg, best.score)}
+
+
+def test_overflow_zero_implies_uncapped_identity():
+    """On a scene where the default caps never overflow, raising them must
+    change nothing (the caps-only-drop theorem, checked)."""
+    syn = make_scene(num_views=8)
+    cfg = L3DConfig()
+    cams, neighbors = _setup(syn, cfg)
+
+    m1, b1, med1 = engine.run_matching(syn.scene, cams, neighbors, cfg)
+    assert all(vm.overflow == 0 for vm in m1), \
+        "scene unexpectedly overflows — pick a sparser fixture"
+
+    big = dataclasses.replace(cfg, match_block_quota=128,
+                              max_matches_per_segment=10**6)
+    m2, b2, med2 = engine.run_matching(syn.scene, cams, neighbors, big)
+
+    assert [_match_key(a) for a in m1] == [_match_key(a) for a in m2]
+    assert _best_key(b1) == _best_key(b2)
+    np.testing.assert_array_equal(med1, med2)
+
+
+def test_dense_scene_saturates_and_fallback_restores_oracle():
+    """Tiny caps on the dense scene must overflow; apply_uncapped_fallback
+    must then reproduce the uncapped oracle bit-for-bit."""
+    syn = _dense_syn()
+    cfg = dataclasses.replace(L3DConfig(), match_block_quota=1,
+                              max_matches_per_segment=8)
+    cams, neighbors = _setup(syn, cfg)
+
+    m_cap, b_cap, med_cap = engine.run_matching(syn.scene, cams, neighbors,
+                                                cfg)
+    over = [vm.view for vm in m_cap if vm.overflow > 0]
+    assert over, "dense scene did not saturate the tiny caps"
+
+    # oracle: every view at exact capacity (reference semantics)
+    oracle = engine.rematch_views_exact(
+        syn.scene, cams, neighbors, cfg,
+        views=[vm.view for vm in m_cap])
+    m_or = [oracle[vm.view][0] for vm in m_cap]
+    med_or = med_cap.copy()
+    rows = []
+    for vm in m_cap:
+        med_or[vm.view] = oracle[vm.view][2]
+        if oracle[vm.view][1] is not None:
+            rows.append(oracle[vm.view][1])
+    b_or = engine._concat_best(rows)
+
+    # the caps DID change results on this scene (otherwise the guard
+    # would be vacuous here)
+    assert [_match_key(a) for a in m_cap] != [_match_key(a) for a in m_or]
+
+    # fallback splices the overflowing views back to oracle
+    m_fb, b_fb, med_fb, n = engine.apply_uncapped_fallback(
+        m_cap, b_cap, med_cap, syn.scene, cams, neighbors, cfg)
+    assert n == len(over)
+    assert [_match_key(a) for a in m_fb] == [_match_key(a) for a in m_or]
+    assert _best_key(b_fb) == _best_key(b_or)
+    np.testing.assert_array_equal(med_fb, med_or)
+
+
+def test_pipeline_fallback_end_to_end_matches_uncapped():
+    """Full pipeline: tiny caps + uncapped_fallback must produce the SAME
+    final 3D lines as generous caps.  This is the test that fails when a
+    cap silently drops result-changing matches."""
+    syn = _dense_syn()
+
+    def run(cfg, sharded=True):
+        l3d = Line3D(config=cfg, use_sharded_engine=sharded)
+        for v in range(syn.scene.num_views):
+            l3d.add_view_segments(
+                v, syn.scene.segments[v][syn.scene.seg_mask[v]],
+                syn.cameras.K[v], syn.cameras.R[v], syn.cameras.t[v],
+                worldpoint_ids=syn.wp_lists[v], width=640, height=480)
+        res = l3d.compute_3d_model(perform_diffusion=False)
+        return res, l3d.stats
+
+    tiny = dataclasses.replace(L3DConfig(use_collinearity=False),
+                               match_block_quota=1,
+                               max_matches_per_segment=8,
+                               uncapped_fallback=True)
+    big = dataclasses.replace(L3DConfig(use_collinearity=False),
+                              match_block_quota=128,
+                              max_matches_per_segment=10**6)
+    res_t, stats_t = run(tiny)
+    # the oracle run uses the per-view engine (no export cap) at true
+    # uncapped capacity — genuinely independent of the fallback machinery
+    res_b, stats_b = run(big, sharded=False)
+
+    assert stats_t["views_rematched_uncapped"] > 0
+    assert stats_b["match_overflow"] == 0
+
+    def keysets(res):
+        return sorted(frozenset(zip(r.views2d.tolist(), r.segs2d.tolist()))
+                      for r in res)
+    assert keysets(res_t) == keysets(res_b)
+    for rt, rb in zip(sorted(res_t, key=lambda r: len(r.segments3d)),
+                      sorted(res_b, key=lambda r: len(r.segments3d))):
+        np.testing.assert_allclose(rt.segments3d, rb.segments3d, rtol=1e-6)
+
+
+def test_fallback_off_warns(capsys):
+    """With uncapped_fallback off, overflow must produce a loud warning
+    and be visible in stats."""
+    syn = _dense_syn()
+    cfg = dataclasses.replace(L3DConfig(use_collinearity=False),
+                              match_block_quota=1,
+                              max_matches_per_segment=8,
+                              uncapped_fallback=False)
+    l3d = Line3D(config=cfg)
+    for v in range(syn.scene.num_views):
+        l3d.add_view_segments(
+            v, syn.scene.segments[v][syn.scene.seg_mask[v]],
+            syn.cameras.K[v], syn.cameras.R[v], syn.cameras.t[v],
+            worldpoint_ids=syn.wp_lists[v], width=640, height=480)
+    l3d.compute_3d_model(perform_diffusion=False)
+    out = capsys.readouterr().out
+    assert "WARNING" in out and "gate-passing" in out
+    assert l3d.stats["match_overflow"] > 0
+    assert l3d.stats["views_rematched_uncapped"] == 0
