@@ -150,15 +150,22 @@ def diffuse_reference_device(edges_i, edges_j, edges_w, num_nodes,
     arrays = (plan.rw, plan.wv_col, plan.ri_seg, plan.rowstart_j,
               plan.colstart_i, plan.mindeg, plan.order_col)
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax.sharding import PartitionSpec as P
+        from ..parallel import multihost
         axis = mesh.axis_names[0]
-        sh = NamedSharding(mesh, P(axis))
-        arrays = tuple(jax.device_put(a, sh) for a in arrays)
+        # globalize: works for a single-process mesh (device_put) and a
+        # multi-host one (each device reads its slice of the replicated
+        # host plan)
+        arrays = tuple(multihost.globalize(mesh, P(axis), a)
+                       for a in arrays)
     else:
         arrays = tuple(jnp.asarray(a) for a in arrays)
 
     w_sym = _diffuse_kernel(*arrays, num_nodes=num_nodes,
                             iterations=iterations,
                             max_degree=plan.max_degree, eps=eps)
+    if mesh is not None and jax.process_count() > 1:
+        from ..parallel import multihost
+        w_sym = multihost.replicate(mesh, w_sym)
     w_sym = np.asarray(w_sym)[:E].astype(np.float64)
     return plan.ri, plan.rj, w_sym

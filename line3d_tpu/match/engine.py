@@ -432,6 +432,21 @@ def dispatch_matching_sharded(scene: Scene, cameras: CameraSet,
     if warm_only:
         stacks["view_active"] = np.zeros_like(stacks["view_active"])
 
+    # multi-host: the stacks/segments are host-replicated numpy; hand each
+    # device its slice of a GLOBAL array (jit over a multi-process mesh
+    # rejects host-local inputs), and replicate the sharded output so
+    # finalize can materialize it on every host
+    multi = jax.process_count() > 1
+    if multi:
+        from jax.sharding import PartitionSpec as _P
+        from ..parallel import multihost
+        axis = mesh.axis_names[0]
+        spec_of = lambda v: _P(axis, *([None] * (np.ndim(v) - 1)))  # noqa
+        segments = multihost.globalize(mesh, _P(), segments)
+        seg_mask = multihost.globalize(mesh, _P(), seg_mask)
+        stacks = {k: multihost.globalize(mesh, spec_of(v), v)
+                  for k, v in stacks.items()}
+
     m_total = min(config.max_matches_per_segment, n_max * S)
     k_export = min(S * k_export_per_seg, S * m_total)
     buf = sharded.sharded_match_all_views(
@@ -444,6 +459,9 @@ def dispatch_matching_sharded(scene: Scene, cameras: CameraSet,
         k_export=k_export,
         support_t=float(config.support_threshold),
         mesh=mesh, packed=True)
+    if multi:
+        from ..parallel import multihost
+        buf = multihost.replicate(mesh, buf)
     ctx = dict(nb_ids=nb_ids, S=S, k_export=k_export, neighbors=neighbors)
     return buf, ctx
 

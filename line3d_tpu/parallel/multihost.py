@@ -39,6 +39,37 @@ def initialize(coordinator_address: str | None = None,
     return True
 
 
+def globalize(mesh, spec, x):
+    """Build a (possibly multi-host) global device array from a
+    host-replicated numpy value.
+
+    Every process must hold the same full array (the pipeline's state is
+    host-replicated after allgather_segments); each device reads its own
+    slice, so no data moves between hosts.  Single-process this is just a
+    device_put with the sharding.
+    """
+    import jax
+    from jax.sharding import NamedSharding
+
+    sh = NamedSharding(mesh, spec)
+    x = np.asarray(x)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sh)
+    return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+
+def replicate(mesh, tree):
+    """Re-shard device outputs to fully-replicated so every host can
+    materialize them with np.asarray (a shard_map output is sharded over
+    the mesh; its non-addressable pieces live on other hosts)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    rep = NamedSharding(mesh, PartitionSpec())
+    shardings = jax.tree_util.tree_map(lambda _: rep, tree)
+    return jax.jit(lambda t: t, out_shardings=shardings)(tree)
+
+
 def my_view_range(num_views: int, process_id: int, num_processes: int):
     """Contiguous view shard [start, end) for this host (detection split)."""
     per = (num_views + num_processes - 1) // num_processes

@@ -95,3 +95,67 @@ def test_two_process_orchestration(tmp_path):
                                        err_msg=k)
         else:
             np.testing.assert_array_equal(got, want, err_msg=k)
+
+
+@pytest.mark.slow
+def test_two_process_full_pipeline(tmp_path):
+    """The COMPLETE pipeline (collinearity + sharded matching + selection +
+    affinity + device diffusion + clustering + fit) over the 2-process
+    global mesh must reproduce the single-process model bit-for-bit."""
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.join(HERE, "multihost_pipeline_worker.py"),
+         str(port), str(pid), "2", str(tmp_path)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+
+    o0 = dict(np.load(tmp_path / "pipe_0.npz"))
+    o1 = dict(np.load(tmp_path / "pipe_1.npz"))
+    for k in o0:
+        np.testing.assert_array_equal(o0[k], o1[k], err_msg=k)
+
+    # single-process run of the identical configuration
+    import dataclasses
+    from synthetic import make_scene
+    from line3d_tpu import Line3D, L3DConfig
+
+    syn = make_scene(num_views=8)
+    cfg = dataclasses.replace(L3DConfig(use_collinearity=True),
+                              perform_diffusion=True,
+                              diffusion_backend="device")
+    l3d = Line3D(config=cfg)
+    for v in range(syn.scene.num_views):
+        l3d.add_view_segments(
+            v, syn.scene.segments[v][syn.scene.seg_mask[v]],
+            syn.cameras.K[v], syn.cameras.R[v], syn.cameras.t[v],
+            worldpoint_ids=syn.wp_lists[v],
+            width=int(syn.cameras.width[v]),
+            height=int(syn.cameras.height[v]))
+    result = l3d.compute_3d_model()
+
+    assert int(o0["n_lines"]) == len(result)
+    np.testing.assert_array_equal(
+        o0["seg_counts"], [len(r.segments3d) for r in result])
+    np.testing.assert_array_equal(
+        o0["views2d"], np.concatenate([r.views2d for r in result]))
+    np.testing.assert_array_equal(
+        o0["segs2d"], np.concatenate([r.segs2d for r in result]))
+    np.testing.assert_allclose(
+        o0["segments3d"],
+        np.concatenate([r.segments3d.reshape(-1, 6) for r in result]),
+        rtol=1e-5, atol=1e-6)
