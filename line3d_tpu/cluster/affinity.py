@@ -48,11 +48,42 @@ class AffinityGraph:
 def similarity_coll3d(cams: CameraSet, best: BestMatches,
                       src_rows: np.ndarray, tgt_rows: np.ndarray,
                       sigma_a: float) -> np.ndarray:
-    """Vectorized similarity_coll3D (line3D.cc:1600-1681) over row pairs."""
+    """Vectorized similarity_coll3D (line3D.cc:1600-1681) over row pairs.
+
+    Large batches dispatch to the native OpenMP kernel (same double-
+    precision math, native/affinity_enum.cpp); the numpy body below is the
+    readable twin and the fallback."""
+    if len(src_rows) > 20000:
+        from ..native.load import get_lib
+        lib = get_lib()
+        if lib is not None and hasattr(lib, "affinity_similarity"):
+            n = len(src_rows)
+            sim = np.empty(n, np.float64)
+            lib.affinity_similarity(
+                np.ascontiguousarray(src_rows, np.int64),
+                np.ascontiguousarray(tgt_rows, np.int64), n,
+                np.ascontiguousarray(best.P1, np.float64),
+                np.ascontiguousarray(best.P2, np.float64),
+                np.ascontiguousarray(best.dir, np.float64),
+                np.ascontiguousarray(best.d1, np.float32),
+                np.ascontiguousarray(best.d2, np.float32),
+                np.ascontiguousarray(best.view, np.int32),
+                np.ascontiguousarray(cams.k_lower, np.float64),
+                np.ascontiguousarray(cams.k_upper, np.float64),
+                np.ascontiguousarray(cams.median_depth, np.float64),
+                float(sigma_a), sim)
+            return sim
     def p2l(P1, dirv, X):
-        # distance_point2line_3D (line3D.cc:1684-1691)
-        proj = P1 + np.sum(dirv * (X - P1), axis=1, keepdims=True) * dirv
-        return np.linalg.norm(proj - X, axis=1)
+        # distance_point2line_3D (line3D.cc:1684-1691).  dist^2 =
+        # |X - P1|^2 - (dir . (X - P1))^2 (dir is unit) — two reductions
+        # instead of materializing the projection (~3x cheaper at the
+        # multi-million-pair scale the affinity stage runs at)
+        dx = X[:, 0] - P1[:, 0]
+        dy = X[:, 1] - P1[:, 1]
+        dz = X[:, 2] - P1[:, 2]
+        t = dx * dirv[:, 0] + dy * dirv[:, 1] + dz * dirv[:, 2]
+        d2 = dx * dx + dy * dy + dz * dz - t * t
+        return np.sqrt(np.maximum(d2, 0.0))
 
     def endpoint_sims(a_rows, b_rows):
         """Gaussian sims of a's endpoints against b's 3D line."""
@@ -280,43 +311,49 @@ def _build_affinity_graph_vec(best, allp, row_lookup, key_of, collin,
     ord_C = ab_total[parent_C] + k_C
 
     # --- assemble the stream in traversal order ---------------------------
-    srcrank = np.concatenate([parent_src, srcrank_B, parent_C])
-    ordinal = np.concatenate([ord_A, ord_B, ord_C])
-    src_rows = np.concatenate([srcrow_A, srcrow_B, srcrow_C])
-    tgt_keys = np.concatenate([tgt_A, tgt_B, tgt_C])
-    kinds = np.concatenate([np.zeros(Na, np.int8), np.ones(NB, np.int8),
-                            np.full(NC, 2, np.int8)])
-    cws = np.concatenate([np.ones(Na + NB), cw_C.astype(np.float64)])
-    # parent linkage: each B entry points at its A entry — a B block only
-    # executes when its A pair was FRESH (the used-check `continue` skips
-    # the whole expansion, line3D.cc:1001-1004)
-    aid_own = np.concatenate([np.arange(Na), np.full(NB, -1, np.int64),
-                              np.full(NC, -1, np.int64)])
-    aid_parent = np.concatenate([np.full(Na, -1, np.int64), parent_B,
-                                 np.full(NC, -1, np.int64)])
+    # every entry's final stream position is directly computable (source
+    # block offset + within-source ordinal), so the stream is built with
+    # three scatter stores per array instead of a concatenate + lexsort +
+    # per-array permutation (~3x fewer passes over the multi-M streams)
+    n = Na + NB + NC
+    total_per_src = ab_total + clen
+    src_off = np.cumsum(total_per_src) - total_per_src
+    pos_A = src_off[parent_src] + ord_A
+    pos_B = src_off[srcrank_B] + ord_B
+    pos_C = src_off[parent_C] + ord_C
 
-    pos = np.lexsort((ordinal, srcrank))
-    src_rows, tgt_keys = src_rows[pos], tgt_keys[pos]
-    kinds, cws = kinds[pos], cws[pos]
-    aid_own, aid_parent = aid_own[pos], aid_parent[pos]
+    src_rows = np.empty(n, np.int64)
+    src_rows[pos_A] = srcrow_A
+    src_rows[pos_B] = srcrow_B
+    src_rows[pos_C] = srcrow_C
+    tgt_keys = np.empty(n, np.int64)
+    tgt_keys[pos_A] = tgt_A
+    tgt_keys[pos_B] = tgt_B
+    tgt_keys[pos_C] = tgt_C
+    kinds = np.empty(n, np.int8)
+    kinds[pos_A] = 0
+    kinds[pos_B] = 1
+    kinds[pos_C] = 2
+    cws = np.ones(n)
+    cws[pos_C] = cw_C
 
     # --- order-dependent `used` dedup --------------------------------------
     # Sequential semantics: an entry is FRESH iff it executes and no
     # earlier executing entry marked the same unordered pair; A/C entries
-    # always execute, a B entry executes iff its parent A entry was fresh.
-    # Every dependency points to a strictly earlier stream position, so
-    # forward chaotic iteration converges (one pass per dependency level;
-    # 2-3 in practice).
+    # always execute, a B entry executes iff its parent A entry was fresh
+    # (the used-check `continue` skips the whole expansion,
+    # line3D.cc:1001-1004).  Every dependency points to a strictly earlier
+    # stream position, so forward chaotic iteration converges (one pass
+    # per dependency level; 2-3 in practice).
     src_keys = key_of[src_rows]
     amin = np.minimum(src_keys, tgt_keys)
     amax = np.maximum(src_keys, tgt_keys)
     pair_key = amin * M + amax
-    n = len(pair_key)
-    pos_of_aid = np.full(Na, -1, np.int64)
-    own = np.nonzero(aid_own >= 0)[0]
-    pos_of_aid[aid_own[own]] = own
     is_B = kinds == 1
-    parent_pos = pos_of_aid[aid_parent[is_B]]
+    # stream position of each B entry's parent A entry, in stream order
+    parent_pos_arr = np.empty(n, np.int64)
+    parent_pos_arr[pos_B] = pos_A[parent_B]
+    parent_pos = parent_pos_arr[is_B]
 
     grp = np.argsort(pair_key, kind="stable")    # (pair, stream pos) order
     gkey = pair_key[grp]
@@ -351,6 +388,15 @@ def _build_affinity_graph_vec(best, allp, row_lookup, key_of, collin,
     src_rows, tgt_rows = src_rows[has], trow[has]
     kinds, cws = kinds[has], cws[has]
 
+    return _finalize_candidates(best, src_rows, tgt_rows, kinds, cws,
+                                cams, config, verbose)
+
+
+def _finalize_candidates(best, src_rows, tgt_rows, kinds, cws,
+                         cams, config, verbose):
+    """Shared tail of every enumerator: similarity, weights, per-kind
+    thresholds, node-id assignment in emission order (line3D.cc:1019-1050),
+    symmetric edge list."""
     if not len(src_rows):
         return AffinityGraph(np.zeros(0, np.int32), np.zeros(0, np.int32),
                              np.zeros(0, np.float32),
@@ -365,12 +411,18 @@ def _build_affinity_graph_vec(best, allp, row_lookup, key_of, collin,
     src_rows, tgt_rows, w = src_rows[passed], tgt_rows[passed], w[passed]
 
     # --- node ids in emission order ---------------------------------------
+    # first-occurrence position per row via a reverse-order scatter (the
+    # last store wins, so storing positions in reverse leaves the FIRST),
+    # then sort only the ~#nodes first-positions — replaces an
+    # np.unique(return_index) sort over the 2E-element stream (~5x at
+    # 1000-view scale)
     seq = np.empty(2 * len(src_rows), np.int64)
     seq[0::2] = src_rows
     seq[1::2] = tgt_rows
-    uniq, first = np.unique(seq, return_index=True)
-    id_order = np.argsort(first, kind="stable")
-    node_rows = uniq[id_order]
+    first_pos = np.full(best.view.size, -1, np.int64)
+    first_pos[seq[::-1]] = np.arange(len(seq) - 1, -1, -1)
+    rows_used = np.flatnonzero(first_pos >= 0)
+    node_rows = rows_used[np.argsort(first_pos[rows_used], kind="stable")]
     node_of = np.full(best.view.size, -1, np.int64)
     node_of[node_rows] = np.arange(len(node_rows))
 
@@ -394,6 +446,44 @@ def _build_affinity_graph_vec(best, allp, row_lookup, key_of, collin,
         num_nodes=len(node_rows))
 
 
+def _build_affinity_graph_native(lib, best, allp, row_lookup, key_of,
+                                 collin, cams, config, max_segments,
+                                 verbose):
+    """Native exact-order enumeration (native/affinity_enum.cpp): the
+    reference's sequential traversal in C++ with an open-addressing pair
+    set — ~20x the numpy stream formulation at 1000-view density.  Output
+    is candidate-for-candidate identical to the loop/vec enumerators
+    (tests/test_affinity.py)."""
+    S = max_segments
+    V = cams.num_views
+    M = np.int64(V) * S
+    ptr, coll_j, coll_w = _collin_csr(collin, V, S)
+    coll_cnt = np.diff(ptr)
+
+    order = np.ascontiguousarray(np.argsort(key_of, kind="stable"),
+                                 np.int64)
+    key_sorted = np.ascontiguousarray(key_of[order])
+    a = np.ascontiguousarray(allp[:, 0])
+    b = np.ascontiguousarray(allp[:, 1])
+    # upper bound on candidates/insertions: every correspondence pair, its
+    # target's collinear partners, and every source's collinear partners
+    expected = int(len(a) + coll_cnt[b].sum() + coll_cnt[key_sorted].sum())
+    out_src = np.empty(expected, np.int64)
+    out_tgt = np.empty(expected, np.int64)
+    out_kind = np.empty(expected, np.int8)
+    out_cw = np.empty(expected, np.float64)
+    cnt = lib.affinity_enumerate(
+        key_sorted, order, len(order), a, b, len(a),
+        np.ascontiguousarray(row_lookup, np.int64),
+        np.ascontiguousarray(ptr, np.int64),
+        np.ascontiguousarray(coll_j, np.int64),
+        np.ascontiguousarray(coll_w, np.float64),
+        S, M, expected, out_src, out_tgt, out_kind, out_cw)
+    return _finalize_candidates(best, out_src[:cnt], out_tgt[:cnt],
+                                out_kind[:cnt], out_cw[:cnt],
+                                cams, config, verbose)
+
+
 def _correspondence_pairs(matches: list, num_views: int, max_segments: int):
     """Sorted unique symmetric (key_a, key_b) array over verified matches
     (the array form of potential_correspondence_lists).  Pairs are packed
@@ -409,7 +499,14 @@ def _correspondence_pairs(matches: list, num_views: int, max_segments: int):
         keys.append(b * M + a)
     if not keys:
         return np.zeros((0, 2), np.int64)
-    pk = np.unique(np.concatenate(keys))
+    pk = np.ascontiguousarray(np.concatenate(keys))
+    from ..native.load import get_lib
+    lib = get_lib()
+    if lib is not None and hasattr(lib, "sort_unique_i64") and len(pk):
+        m = lib.sort_unique_i64(pk, len(pk))   # multi-core in-place
+        pk = pk[:m]
+    else:
+        pk = np.unique(pk)
     return np.stack([pk // M, pk % M], axis=1)
 
 
@@ -429,6 +526,12 @@ def build_affinity_graph(best: BestMatches, matches: list,
         allp = _correspondence_pairs(matches, cams.num_views, S)
         row_lookup = np.full(cams.num_views * S, -1, np.int64)
         row_lookup[key_of] = np.arange(B)
+        from ..native.load import get_lib
+        lib = get_lib()
+        if lib is not None and hasattr(lib, "affinity_enumerate"):
+            return _build_affinity_graph_native(
+                lib, best, allp, row_lookup, key_of, collin, cams, config,
+                S, verbose)
         return _build_affinity_graph_vec(best, allp, row_lookup, key_of,
                                          collin, cams, config, S, verbose)
 

@@ -100,6 +100,54 @@ int64_t sweep_events(const int64_t* seg_id, const int64_t* cam_id,
     return count;
 }
 
+// Batched sweep: sweep_events over C clusters in one call.  Events of
+// cluster c live at [cluster_ptr[c], cluster_ptr[c+1]); seg ids are local
+// to the cluster (0..n_c-1).  Emits (start, end) event indices GLOBAL to
+// the concatenated array plus the owning cluster id.  Returns the total
+// number of sub-segments.
+int64_t sweep_events_batched(const int64_t* seg_id, const int64_t* cam_id,
+                             const int64_t* cluster_ptr, int64_t num_clusters,
+                             int64_t min_open, int64_t max_cam,
+                             int64_t* out_start, int64_t* out_end,
+                             int64_t* out_cluster) {
+    std::vector<int8_t> open_seg;
+    std::vector<int32_t> open_cam(max_cam + 1, 0);
+    int64_t count = 0;
+    for (int64_t c = 0; c < num_clusters; ++c) {
+        const int64_t lo = cluster_ptr[c], hi = cluster_ptr[c + 1];
+        const int64_t n = hi - lo;
+        if (static_cast<int64_t>(open_seg.size()) < n) open_seg.resize(n);
+        for (int64_t i = 0; i < n; ++i) open_seg[i] = 0;
+        int64_t open_cams = 0;
+        bool opened = false;
+        int64_t current_start = -1;
+        for (int64_t e = lo; e < hi; ++e) {
+            const int64_t s = seg_id[e];
+            const int64_t cam = cam_id[e];
+            if (!open_seg[s]) {
+                open_seg[s] = 1;
+                if (open_cam[cam]++ == 0) ++open_cams;
+            } else {
+                open_seg[s] = 0;
+                if (--open_cam[cam] == 0) --open_cams;
+            }
+            if (opened && open_cams < min_open) {
+                out_start[count] = current_start;
+                out_end[count] = e;
+                out_cluster[count] = c;
+                ++count;
+                opened = false;
+            } else if (!opened && open_cams >= min_open) {
+                current_start = e;
+                opened = true;
+            }
+        }
+        // reset touched cam counters for the next cluster
+        for (int64_t e = lo; e < hi; ++e) open_cam[cam_id[e]] = 0;
+    }
+    return count;
+}
+
 // ---------------------------------------------------------------------
 // Detection support: connected components over the pixel grid with a
 // pairwise gradient-angle gate (the line-support regions of the vectorized

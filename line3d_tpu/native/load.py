@@ -16,7 +16,9 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_HERE, "libline3d_native.so")
-_SRC = os.path.join(_HERE, "fh_cluster.cpp")
+_SRCS = [os.path.join(_HERE, "fh_cluster.cpp"),
+         os.path.join(_HERE, "affinity_enum.cpp")]
+_SRC = _SRCS[0]
 
 _lock = threading.Lock()
 _lib = None
@@ -32,17 +34,18 @@ def build(force: bool = False) -> bool:
     trusted as-is.
     """
     have_lib = os.path.exists(_LIB_PATH)
-    have_src = os.path.exists(_SRC)
+    srcs = [s for s in _SRCS if os.path.exists(s)]
     if have_lib and not force and \
-            (not have_src or
-             os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC)):
+            (not srcs or
+             os.path.getmtime(_LIB_PATH) >= max(os.path.getmtime(s)
+                                                for s in srcs)):
         return True
-    if not have_src:
+    if not srcs:
         return have_lib
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-             "-o", _LIB_PATH, _SRC],
+             "-fopenmp", "-o", _LIB_PATH] + srcs,
             check=True, capture_output=True)
         return True
     except (subprocess.CalledProcessError, FileNotFoundError):
@@ -77,6 +80,11 @@ def get_lib():
                                      ctypes.c_int64, ctypes.c_int64,
                                      i64p, i64p]
         lib.sweep_events.restype = ctypes.c_int64
+        if hasattr(lib, "sweep_events_batched"):
+            lib.sweep_events_batched.argtypes = [
+                i64p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, i64p, i64p, i64p]
+            lib.sweep_events_batched.restype = ctypes.c_int64
         f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
         u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
@@ -89,5 +97,23 @@ def get_lib():
         lib.region_extents.argtypes = [i32p, ctypes.c_int64, ctypes.c_int64,
                                        f64p, f64p, f64p, f64p, f64p]
         lib.region_extents.restype = None
+        i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+        if hasattr(lib, "affinity_enumerate"):
+            lib.affinity_enumerate.argtypes = [
+                i64p, i64p, ctypes.c_int64,          # key_sorted, rows, B
+                i64p, i64p, ctypes.c_int64,          # allp_a, allp_b, P
+                i64p,                                # row_lookup
+                i64p, i64p, f64p,                    # coll csr
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # S, M, exp
+                i64p, i64p, i8p, f64p]               # outputs
+            lib.affinity_enumerate.restype = ctypes.c_int64
+            lib.affinity_similarity.argtypes = [
+                i64p, i64p, ctypes.c_int64,
+                f64p, f64p, f64p, f32p, f32p, i32p,
+                f64p, f64p, f64p, ctypes.c_double, f64p]
+            lib.affinity_similarity.restype = None
+        if hasattr(lib, "sort_unique_i64"):
+            lib.sort_unique_i64.argtypes = [i64p, ctypes.c_int64]
+            lib.sort_unique_i64.restype = ctypes.c_int64
         _lib = lib
         return _lib

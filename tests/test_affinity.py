@@ -107,3 +107,55 @@ def test_vectorized_collin_path_matches_loop_path():
     g_plain = affinity.build_affinity_graph(best, matches, plain, cams,
                                             cfg, S)
     assert _graph_fingerprint(g_plain) == _graph_fingerprint(g_loop)
+
+
+def test_native_enumerator_matches_loop_and_vec(monkeypatch):
+    """All three enumerators — loop (semantic reference), numpy stream
+    (vec), native C++ (production) — must produce the same graph on a
+    collinearity-rich scene.  Native vs loop is bit-identical including
+    weights (same double math, native/affinity_enum.cpp); vec differs only
+    by libm-vs-numpy exp ulps (covered by the rounded fingerprint)."""
+    from line3d_tpu.native import load as native_load
+    if native_load.get_lib() is None or \
+            not hasattr(native_load.get_lib(), "affinity_enumerate"):
+        import pytest
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(5)
+    syn = make_scene(num_views=8)
+    cams = syn.cameras
+    cfg = L3DConfig()
+    tr = compute_conditioning(cams.C)
+    cams.transform(tr.Qinv, tr.scale)
+    sim, _ = view_similarities_from_worldpoints(syn.wp_lists,
+                                                syn.scene.num_views)
+    neighbors = find_visual_neighbors(sim, cams.baselines(),
+                                      cfg.min_baseline,
+                                      cfg.matching_neighbors)
+    matches, best, _ = engine.run_matching(syn.scene, cams, neighbors, cfg)
+    S = syn.scene.max_segments
+
+    # dense random collinearity maps to exercise the B/C paths + dedup
+    collin = []
+    for v in range(syn.scene.num_views):
+        nseg = int(syn.scene.seg_mask[v].sum())
+        d = {}
+        for i in range(nseg):
+            partners = rng.choice(nseg, size=min(3, nseg), replace=False)
+            d[i] = {int(j): float(rng.uniform(0.05, 1.0))
+                    for j in partners if int(j) != i}
+        collin.append(d)
+
+    g_native = affinity.build_affinity_graph(best, matches, collin, cams,
+                                             cfg, S)
+    g_loop = affinity.build_affinity_graph(best, matches, collin, cams,
+                                           cfg, S, force_loop=True)
+    monkeypatch.setattr(native_load, "get_lib", lambda: None)
+    g_vec = affinity.build_affinity_graph(best, matches, collin, cams,
+                                          cfg, S)
+    assert _graph_fingerprint(g_native) == _graph_fingerprint(g_loop)
+    assert _graph_fingerprint(g_vec) == _graph_fingerprint(g_loop)
+    # native vs loop: identical float64 similarity math, so the weights
+    # agree exactly, not just to 6 decimals
+    np.testing.assert_array_equal(g_native.edges_w, g_loop.edges_w)
+    assert g_native.num_nodes > 10

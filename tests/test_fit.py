@@ -100,3 +100,53 @@ def test_sweep_native_matches_python(monkeypatch):
     monkeypatch.setattr(native_load, "get_lib", lambda: None)
     s_python = lines.sweep_cluster(pts, segid, camid, np.zeros(3), d, 3)
     np.testing.assert_allclose(s_native, s_python)
+
+
+def test_batched_process_clusters_matches_loop():
+    """The batched formulation must reproduce the per-cluster loop
+    (member order, line fits, extremal-point tie-breaks, sweep output)
+    on the full synthetic pipeline graph."""
+    import dataclasses as dc
+
+    from synthetic import make_scene
+    from line3d_tpu.config import L3DConfig
+    from line3d_tpu.core.conditioning import compute_conditioning
+    from line3d_tpu.cluster import affinity, fh
+    from line3d_tpu.match import engine
+    from line3d_tpu.scene import view_similarities_from_worldpoints, \
+        find_visual_neighbors
+    from line3d_tpu.fit import lines as fit_lines
+    from line3d_tpu.native import load as native_load
+
+    lib = native_load.get_lib()
+    if lib is None or not hasattr(lib, "sweep_events_batched"):
+        import pytest
+        pytest.skip("native library unavailable")
+
+    syn = make_scene(num_views=10, noise_px=0.6, seed=2)
+    cams = syn.cameras
+    cfg = L3DConfig()
+    tr = compute_conditioning(cams.C)
+    cams.transform(tr.Qinv, tr.scale)
+    sim, _ = view_similarities_from_worldpoints(syn.wp_lists,
+                                                syn.scene.num_views)
+    neighbors = find_visual_neighbors(sim, cams.baselines(),
+                                      cfg.min_baseline,
+                                      cfg.matching_neighbors)
+    matches, best, _ = engine.run_matching(syn.scene, cams, neighbors, cfg)
+    S = syn.scene.max_segments
+    graph = affinity.build_affinity_graph(best, matches, None, cams, cfg, S)
+    labels = fh.fh_cluster(graph.edges_i, graph.edges_j, graph.edges_w,
+                           graph.num_nodes, cfg.fh_c)
+
+    res_b = fit_lines._process_clusters_batched(
+        lib, graph, labels, best, tr, cfg, S)
+    res_l = fit_lines._process_clusters_loop(
+        graph, labels, best, tr, cfg, S)
+
+    assert len(res_b) == len(res_l) and len(res_b) > 0
+    for rb, rl in zip(res_b, res_l):
+        np.testing.assert_array_equal(rb.views2d, rl.views2d)
+        np.testing.assert_array_equal(rb.segs2d, rl.segs2d)
+        np.testing.assert_allclose(rb.segments3d, rl.segments3d,
+                                   rtol=1e-9, atol=1e-12)
