@@ -304,7 +304,12 @@ def _emit_candidates(cands, p, log_nt):
 def _detect_native(lib, norm, angle, defined, prec, p, log_nt,
                    min_reg_size):
     """Host-native detection back half: union-find CC + moments + extents
-    in C++, with the same tolerance-halving refinement ladder."""
+    in C++.  Low-density pass-1 components are carved by the native
+    lsd_carve — the reference's seeded grow / refine / radius-reduce
+    chain (lsd_opencv.cpp:576-633, 884-969) restricted to the failing
+    pixels, which recovers the clean segments that noise chained into
+    one bloated component.  Falls back to the tolerance-halving ladder
+    when the library predates lsd_carve."""
     H, W = angle.shape
     tol = np.full((H, W), prec, np.float32)
     fit1, labels = _cc_and_fit_native(lib, norm, angle, defined, tol, prec)
@@ -314,8 +319,17 @@ def _detect_native(lib, norm, angle, defined, prec, p, log_nt,
     big = fit1["count"] >= min_reg_size
     cands = [(fit1, np.nonzero(big & (fit1["density"] >= DENSITY_TH))[0])]
 
-    cur_fail = big & (fit1["density"] < DENSITY_TH)
+    fail = big & (fit1["density"] < DENSITY_TH)
+    if fail.any() and hasattr(lib, "lsd_carve"):
+        fit_c = _carve_native(lib, norm, angle, labels, fail, prec,
+                              min_reg_size)
+        if fit_c is not None:
+            cands.append((fit_c, np.arange(len(fit_c["count"]))))
+        return _emit_candidates(cands, p, log_nt)
+
+    cur_fail = fail
     cur_labels = labels
+    cur_fit = fit1
     t = prec
     for _ in range(3):
         if not cur_fail.any():
@@ -336,7 +350,121 @@ def _detect_native(lib, norm, angle, defined, prec, p, log_nt,
                       np.nonzero(big_k & (fit_k["density"] >= DENSITY_TH))[0]))
         cur_fail = big_k & (fit_k["density"] < DENSITY_TH)
         cur_labels = labels_k
+        cur_fit = fit_k
+
+    if cur_fail.any():
+        fit_r = _radius_reduce(norm, angle, cur_labels,
+                               np.nonzero(cur_fail)[0], cur_fit, prec)
+        if fit_r is not None:
+            cands.append((fit_r, np.arange(len(fit_r["count"]))))
     return _emit_candidates(cands, p, log_nt)
+
+
+def _carve_native(lib, norm, angle, labels, fail, prec, min_reg_size):
+    """Run the native lsd_carve over the failing components and return a
+    fit dict compatible with _emit_candidates (None when nothing was
+    recovered)."""
+    H, W = angle.shape
+    n_fail_pix = int(fail[np.maximum(labels, 0)][labels >= 0].sum())
+    max_out = max(n_fail_pix // max(min_reg_size, 1), 16)
+    out = np.empty((max_out, 10), np.float64)
+    rows = int(lib.lsd_carve(
+        np.ascontiguousarray(norm.reshape(-1), np.float32),
+        np.ascontiguousarray(angle.reshape(-1), np.float32),
+        np.ascontiguousarray(labels.reshape(-1), np.int32),
+        np.ascontiguousarray(fail.astype(np.uint8)),
+        len(fail), H, W, float(prec), float(DENSITY_TH),
+        int(min_reg_size), out, max_out))
+    if rows == 0:
+        return None
+    o = out[:rows]
+    length = o[:, 7] - o[:, 6]
+    width = np.maximum(o[:, 9] - o[:, 8], 1.0)
+    return dict(count=o[:, 0], sw=o[:, 1], cx=o[:, 2], cy=o[:, 3],
+                dx=o[:, 4].astype(np.float32),
+                dy=o[:, 5].astype(np.float32),
+                l_min=o[:, 6], l_max=o[:, 7], length=length, width=width,
+                density=o[:, 0] / np.maximum(length * width, 1e-9))
+
+
+def _radius_reduce(norm, angle, labels, fail_ids, fit, prec):
+    """Radius-reduction recovery (reduce_region_radius,
+    lsd_opencv.cpp:932-969): a component that still fails the density test
+    is shrunk around its highest-gradient pixel — radius to 75% per step —
+    and refitted until the kept core is dense enough or degenerates.
+    Recovers the short, dense centers of regions bloated by noise pixels.
+
+    `labels` is [H, W] component ids (-1 / out-of-range = no component);
+    `fit` the component fit dict the ids index.  Returns a fit dict of the
+    recovered components (None when nothing survives)."""
+    H, W = norm.shape
+    lab_flat = labels.reshape(-1)
+    C = len(fit["count"])
+    in_fail = np.zeros(C + 1, bool)
+    in_fail[fail_ids] = True
+    ok_lab = (lab_flat >= 0) & (lab_flat < C)
+    sel = np.flatnonzero(ok_lab & in_fail[np.where(ok_lab, lab_flat, C)])
+    if len(sel) == 0:
+        return None
+    comp = lab_flat[sel]
+    order = np.argsort(comp, kind="stable")
+    sel = sel[order]
+    comp = comp[order]
+    starts = np.flatnonzero(np.diff(comp, prepend=-1))
+    ends = np.append(starts[1:], len(comp))
+
+    px = (sel % W).astype(np.float64)
+    py = (sel // W).astype(np.float64)
+    pw = norm.reshape(-1)[sel].astype(np.float64)
+    pa = angle.reshape(-1)[sel].astype(np.float64)
+    pca, psa = np.cos(pa), np.sin(pa)
+
+    rows = []
+    for s, e in zip(starts, ends):
+        c = comp[s]
+        x, y, w = px[s:e], py[s:e], pw[s:e]
+        ca, sa = pca[s:e], psa[s:e]
+        seed = int(np.argmax(w))
+        sx, sy = x[seed], y[seed]
+        # region radius: seed to the farther fitted endpoint
+        # (lsd_opencv.cpp:936-940)
+        ex1 = fit["cx"][c] + fit["l_min"][c] * fit["dx"][c]
+        ey1 = fit["cy"][c] + fit["l_min"][c] * fit["dy"][c]
+        ex2 = fit["cx"][c] + fit["l_max"][c] * fit["dx"][c]
+        ey2 = fit["cy"][c] + fit["l_max"][c] * fit["dy"][c]
+        rad_sq = max((sx - ex1) ** 2 + (sy - ey1) ** 2,
+                     (sx - ex2) ** 2 + (sy - ey2) ** 2)
+        d_sq = (x - sx) ** 2 + (y - sy) ** 2
+        while True:
+            rad_sq *= 0.5625                     # 0.75^2 per step
+            keep = d_sq <= rad_sq
+            n = int(keep.sum())
+            if n < 2:
+                break
+            x, y, w = x[keep], y[keep], w[keep]
+            ca, sa = ca[keep], sa[keep]
+            d_sq = d_sq[keep]
+            stats = dict(count=np.array([float(n)]),
+                         sw=np.array([w.sum()]),
+                         swx=np.array([(w * x).sum()]),
+                         swy=np.array([(w * y).sum()]),
+                         swxx=np.array([(w * x * x).sum()]),
+                         swyy=np.array([(w * y * y).sum()]),
+                         swxy=np.array([(w * x * y).sum()]),
+                         sca=np.array([ca.sum()]),
+                         ssa=np.array([sa.sum()]))
+            cnt, sw, cx, cy, dx, dy = _moments_to_rect(stats, prec)
+            l = (x - cx[0]) * dx[0] + (y - cy[0]) * dy[0]
+            wd = -(x - cx[0]) * dy[0] + (y - cy[0]) * dx[0]
+            row = _finalize_fit(stats, cnt, sw, cx, cy, dx, dy,
+                                np.array([l.min()]), np.array([l.max()]),
+                                np.array([wd.min()]), np.array([wd.max()]))
+            if row["density"][0] >= DENSITY_TH:
+                rows.append(row)
+                break
+    if not rows:
+        return None
+    return {k: np.concatenate([r[k] for r in rows]) for k in rows[0]}
 
 
 def _nfa_log10(n: np.ndarray, k: np.ndarray, p: float,
@@ -525,6 +653,7 @@ def _detect_impl(image_gray: np.ndarray) -> np.ndarray:
     Hh, Ww = np.asarray(angle).shape
     cur_fail = failing
     cur_label = np.asarray(flat_label)
+    cur_fit = fit1
     tol = prec
     for _ in range(3):
         if not cur_fail.any():
@@ -543,5 +672,13 @@ def _detect_impl(image_gray: np.ndarray) -> np.ndarray:
         cands.append((fit_k, np.nonzero(good_k)[0]))
         cur_fail = big_k & (fit_k["density"] < DENSITY_TH)
         cur_label = np.asarray(flat_label_k)
+        cur_fit = fit_k
+
+    if cur_fail.any():
+        fit_r = _radius_reduce(np.asarray(norm), np.asarray(angle),
+                               cur_label.reshape(Hh, Ww),
+                               np.nonzero(cur_fail)[0], cur_fit, prec)
+        if fit_r is not None:
+            cands.append((fit_r, np.arange(len(fit_r["count"]))))
 
     return _emit_candidates(cands, p, log_nt)

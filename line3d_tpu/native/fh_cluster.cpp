@@ -9,6 +9,7 @@
 // sweep_events: the open/close camera-count sweep of projectToLine
 // (line3D.cc:1554-1596) for one cluster; events pre-sorted by distance.
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <vector>
@@ -270,6 +271,242 @@ void region_extents(const int32_t* labels, int64_t H, int64_t W,
             if (wd > o[3]) o[3] = wd;
         }
     }
+}
+
+// ---------------------------------------------------------------------
+// Seeded carving of low-density components: the reference LSD's main
+// seed loop (lsd_opencv.cpp:576-633) restricted to the pixels of the
+// failing pass-1 components.  Each component is carved by repeatedly
+// seeding at its strongest unused gradient pixel, growing a region
+// aligned with the RUNNING MEAN angle (region_grow, lsd_opencv.cpp:
+// 735-786), and recovering low-density regions with the tolerance
+// re-estimate + regrow of refine (lsd_opencv.cpp:884-930) and the
+// radius-shrink loop of reduce_region_radius (lsd_opencv.cpp:932-969).
+// Pixels released by refine/radius-reduce become available to later
+// seeds, so one noise-glued blob yields several clean segments.
+//
+// Divergence (documented in PARITY.md): growth never crosses out of the
+// owning pass-1 component — carving is per-component data-parallel and
+// deterministic, where the reference's global seed ordering could graft
+// neighbouring unused pixels onto a region.
+
+namespace {
+
+struct CarveFit {
+    double count, sw, cx, cy, dx, dy, l_min, l_max, w_min, w_max;
+    double density;
+};
+
+// region2rect + get_theta (lsd_opencv.cpp:788-882) over an explicit
+// pixel list.  Returns false when the weighted sum degenerates.
+static bool fit_region(const std::vector<int64_t>& reg, int64_t n,
+                       const float* norm, double reg_angle, double prec,
+                       int64_t W, CarveFit* out) {
+    double x = 0, y = 0, sum = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t a = reg[i];
+        const double wgt = norm[a];
+        x += double(a % W) * wgt;
+        y += double(a / W) * wgt;
+        sum += wgt;
+    }
+    if (!(sum > 0)) return false;
+    x /= sum;
+    y /= sum;
+    double Ixx = 0, Iyy = 0, Ixy = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t a = reg[i];
+        const double wgt = norm[a];
+        const double ddx = double(a % W) - x;
+        const double ddy = double(a / W) - y;
+        Ixx += ddy * ddy * wgt;
+        Iyy += ddx * ddx * wgt;
+        Ixy -= ddx * ddy * wgt;
+    }
+    const double lambda =
+        0.5 * (Ixx + Iyy - std::sqrt((Ixx - Iyy) * (Ixx - Iyy) +
+                                     4.0 * Ixy * Ixy));
+    double theta = (std::fabs(Ixx) > std::fabs(Iyy))
+                       ? std::atan2(lambda - Ixx, Ixy)
+                       : std::atan2(Ixy, lambda - Iyy);
+    if (angle_diff(theta, reg_angle) > prec) theta += M_PI;
+    const double dx = std::cos(theta), dy = std::sin(theta);
+    double l_min = 0, l_max = 0, w_min = 0, w_max = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        const int64_t a = reg[i];
+        const double rx = double(a % W) - x;
+        const double ry = double(a / W) - y;
+        const double l = rx * dx + ry * dy;
+        const double w = -rx * dy + ry * dx;
+        if (l > l_max) l_max = l; else if (l < l_min) l_min = l;
+        if (w > w_max) w_max = w; else if (w < w_min) w_min = w;
+    }
+    double width = w_max - w_min;
+    if (width < 1.0) width = 1.0;
+    out->count = double(n);
+    out->sw = sum;
+    out->cx = x; out->cy = y;
+    out->dx = dx; out->dy = dy;
+    out->l_min = l_min; out->l_max = l_max;
+    out->w_min = w_min; out->w_max = w_max;
+    const double len = l_max - l_min;
+    out->density = (len * width > 0) ? double(n) / (len * width) : 0.0;
+    return true;
+}
+
+// region_grow (lsd_opencv.cpp:735-786): BFS from seed over state==1
+// pixels, gated by alignment with the running mean angle; grown pixels
+// flip to state 2.  Returns region size; reg_angle returns the mean.
+static int64_t grow(int64_t seed, const float* angle, uint8_t* state,
+                    int64_t H, int64_t W, double tol,
+                    std::vector<int64_t>& reg, double* reg_angle) {
+    reg.clear();
+    reg.push_back(seed);
+    state[seed] = 2;
+    double ang = angle[seed];
+    double sumdx = std::cos(ang), sumdy = std::sin(ang);
+    for (size_t i = 0; i < reg.size(); ++i) {
+        const int64_t a = reg[i];
+        const int64_t x = a % W, y = a / W;
+        const int64_t xlo = x > 0 ? x - 1 : 0;
+        const int64_t xhi = x < W - 1 ? x + 1 : W - 1;
+        const int64_t ylo = y > 0 ? y - 1 : 0;
+        const int64_t yhi = y < H - 1 ? y + 1 : H - 1;
+        for (int64_t yy = ylo; yy <= yhi; ++yy) {
+            for (int64_t xx = xlo; xx <= xhi; ++xx) {
+                const int64_t b = yy * W + xx;
+                if (state[b] != 1) continue;
+                if (angle_diff(double(angle[b]), ang) > tol) continue;
+                state[b] = 2;
+                reg.push_back(b);
+                sumdx += std::cos(double(angle[b]));
+                sumdy += std::sin(double(angle[b]));
+                ang = std::atan2(sumdy, sumdx);
+            }
+        }
+    }
+    *reg_angle = ang;
+    return int64_t(reg.size());
+}
+
+}  // namespace
+
+// Carve the failing components.  labels: compact pass-1 CC ids [H*W]
+// (-1 undefined); comp_fail[c] selects components to carve.  Emits up to
+// max_out rows of 10 doubles (count, sw, cx, cy, dx, dy, l_min, l_max,
+// w_min, w_max); returns rows written.
+int64_t lsd_carve(const float* norm, const float* angle,
+                  const int32_t* labels, const uint8_t* comp_fail,
+                  int64_t n_comps, int64_t H, int64_t W,
+                  double prec, double density_th, int64_t min_reg_size,
+                  double* out, int64_t max_out) {
+    const int64_t N = H * W;
+    // state: 0 = not a carve pixel, 1 = available, 2 = used
+    std::vector<uint8_t> state(N, 0);
+    std::vector<int64_t> cand;
+    for (int64_t i = 0; i < N; ++i) {
+        const int32_t c = labels[i];
+        if (c >= 0 && c < n_comps && comp_fail[c]) {
+            state[i] = 1;
+            cand.push_back(i);
+        }
+    }
+    if (cand.empty()) return 0;
+    // seed order: decreasing gradient magnitude (the reference's
+    // 1024-bin pseudo-sort, lsd_opencv.cpp:700-733, made exact)
+    std::sort(cand.begin(), cand.end(), [&](int64_t a, int64_t b) {
+        if (norm[a] != norm[b]) return norm[a] > norm[b];
+        return a < b;  // deterministic tie-break
+    });
+
+    std::vector<int64_t> reg;
+    reg.reserve(4096);
+    int64_t rows = 0;
+    for (const int64_t seed : cand) {
+        if (state[seed] != 1) continue;
+        double reg_angle;
+        int64_t n = grow(seed, angle, state.data(), H, W, prec, reg,
+                         &reg_angle);
+        if (n < min_reg_size) continue;  // pixels stay used (line 586)
+        CarveFit fit;
+        if (!fit_region(reg, n, norm, reg_angle, prec, W, &fit)) continue;
+
+        if (fit.density < density_th) {
+            // refine (lsd_opencv.cpp:884-930): release, re-estimate the
+            // tolerance from angles near the seed, regrow
+            const double sx = double(seed % W), sy = double(seed / W);
+            const double ang_c = angle[seed];
+            const double width = std::max(fit.w_max - fit.w_min, 1.0);
+            double s = 0, ss = 0;
+            int64_t m = 0;
+            for (int64_t i = 0; i < n; ++i) {
+                const int64_t a = reg[i];
+                state[a] = 1;  // release (line 900)
+                const double px = double(a % W), py = double(a / W);
+                if ((px - sx) * (px - sx) + (py - sy) * (py - sy) <
+                    width * width) {
+                    double d = double(angle[a]) - ang_c;
+                    while (d > M_PI) d -= 2.0 * M_PI;
+                    while (d < -M_PI) d += 2.0 * M_PI;
+                    s += d;
+                    ss += d * d;
+                    ++m;
+                }
+            }
+            const double mean = s / double(m);
+            const double tau =
+                2.0 * std::sqrt((ss - 2.0 * mean * s) / double(m) +
+                                mean * mean);
+            n = grow(seed, angle, state.data(), H, W, tau, reg, &reg_angle);
+            if (n < 2) continue;  // regrown pixels stay used (line 917)
+            if (!fit_region(reg, n, norm, reg_angle, prec, W, &fit))
+                continue;
+
+            if (fit.density < density_th) {
+                // reduce_region_radius (lsd_opencv.cpp:932-969)
+                const double ex1 = fit.cx + fit.l_min * fit.dx;
+                const double ey1 = fit.cy + fit.l_min * fit.dy;
+                const double ex2 = fit.cx + fit.l_max * fit.dx;
+                const double ey2 = fit.cy + fit.l_max * fit.dy;
+                const double r1 = (sx - ex1) * (sx - ex1) +
+                                  (sy - ey1) * (sy - ey1);
+                const double r2 = (sx - ex2) * (sx - ex2) +
+                                  (sy - ey2) * (sy - ey2);
+                double radSq = r1 > r2 ? r1 : r2;
+                bool ok = true;
+                while (fit.density < density_th) {
+                    radSq *= 0.75 * 0.75;
+                    int64_t k = 0;
+                    for (int64_t i = 0; i < n; ++i) {
+                        const int64_t a = reg[i];
+                        const double px = double(a % W);
+                        const double py = double(a / W);
+                        if ((px - sx) * (px - sx) + (py - sy) * (py - sy)
+                                > radSq) {
+                            state[a] = 1;  // release (line 951)
+                        } else {
+                            reg[k++] = a;
+                        }
+                    }
+                    n = k;
+                    if (n < 2) { ok = false; break; }
+                    if (!fit_region(reg, n, norm, reg_angle, prec, W,
+                                    &fit)) { ok = false; break; }
+                }
+                if (!ok) continue;
+            }
+        }
+        if (n < min_reg_size) continue;  // NFA floor needs min_reg_size
+        if (rows >= max_out) break;
+        double* o = out + rows * 10;
+        o[0] = fit.count; o[1] = fit.sw;
+        o[2] = fit.cx; o[3] = fit.cy;
+        o[4] = fit.dx; o[5] = fit.dy;
+        o[6] = fit.l_min; o[7] = fit.l_max;
+        o[8] = fit.w_min; o[9] = fit.w_max;
+        ++rows;
+    }
+    return rows;
 }
 
 }  // extern "C"

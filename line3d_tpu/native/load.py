@@ -112,6 +112,13 @@ def get_lib():
                 f64p, f64p, f64p, f32p, f32p, i32p,
                 f64p, f64p, f64p, ctypes.c_double, f64p]
             lib.affinity_similarity.restype = None
+        if hasattr(lib, "lsd_carve"):
+            lib.lsd_carve.argtypes = [
+                f32p, f32p, i32p, u8p, ctypes.c_int64,       # norm, angle,
+                ctypes.c_int64, ctypes.c_int64,              # labels, fail
+                ctypes.c_double, ctypes.c_double,            # prec, dens_th
+                ctypes.c_int64, f64p, ctypes.c_int64]        # min_sz, out
+            lib.lsd_carve.restype = ctypes.c_int64
         if hasattr(lib, "sort_unique_i64"):
             lib.sort_unique_i64.argtypes = [i64p, ctypes.c_int64]
             lib.sort_unique_i64.restype = ctypes.c_int64

@@ -161,3 +161,75 @@ def test_resize_linear_matches_jax_image():
         got = vectorized_lsd._resize_linear(x, *out)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-5, atol=1e-4)
+
+
+def test_detect_short_segments_heavy_noise():
+    """Short-segment recall under heavy sensor noise: the seeded carve of
+    low-density components (native lsd_carve — the refine /
+    reduce_region_radius chain, lsd_opencv.cpp:884-969) must recover the
+    short segments that noise chains into bloated regions.  Round-1 gap:
+    ~0.85 short recall without carving; pinned at the reference-parity
+    bound ≥0.95 (VERDICT round 1 item 6)."""
+    if not hasattr(cv2, "createLineSegmentDetector"):
+        pytest.skip("cv2 without LSD")
+    w, h = 1280, 960
+    img, _ = draw_scene(width=w, height=h, seed=5, n_lines=80, thickness=2)
+    rng = np.random.default_rng(0)
+    noisy = np.clip(img.astype(np.float32) + rng.normal(0, 20, img.shape),
+                    0, 255)
+    lsd = cv2.createLineSegmentDetector(cv2.LSD_REFINE_ADV)
+    ref = lsd.detect(noisy.astype(np.uint8))[0].reshape(-1, 4)
+    rl = np.hypot(ref[:, 0] - ref[:, 2], ref[:, 1] - ref[:, 3])
+    short = ref[(rl >= 10) & (rl < 40)]
+    assert len(short) > 100  # the scenario must actually stress the bin
+
+    det = detector.detect_line_segments(noisy, w, h, min_length=0.0,
+                                        max_segments=10000)
+    r = seg_recall(short, det, dist_tol=5.0, ang_tol_deg=6.0, cover=0.5)
+    assert r >= 0.95, f"short-segment recall {r} ({len(short)} ref segs)"
+    # and no over-detection: per-length-bin counts stay near the
+    # reference's (the pre-carve ladder emitted ~1.5x spurious shorts)
+    dl = np.hypot(det[:, 0] - det[:, 2], det[:, 1] - det[:, 3])
+    n_short_det = int(((dl >= 10) & (dl < 40)).sum())
+    assert n_short_det <= 1.2 * len(short), (n_short_det, len(short))
+
+
+def test_carve_splits_noise_glued_blob():
+    """lsd_carve must recover a clean line from a component bloated by
+    aligned noise: a dense bar picks up a sparse same-angle halo that the
+    tolerance ladder cannot split (identical angles), while radius
+    reduction around the strongest-gradient seed recovers the bar."""
+    from line3d_tpu.native import load as native_load
+    lib = native_load.get_lib()
+    if lib is None or not hasattr(lib, "lsd_carve"):
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(7)
+    H, W = 120, 160
+    angle = np.zeros((H, W), np.float32)      # all gradients same angle
+    norm = np.zeros((H, W), np.float32)
+    labels = np.full((H, W), -1, np.int32)
+    # dense 3x30 bar (the true segment) ...
+    labels[60:63, 40:70] = 0
+    norm[60:63, 40:70] = 10.0
+    # ... plus a sparse halo of same-angle pixels 8-connected via a thread
+    for k in range(40):
+        x = int(rng.uniform(30, 110)); y = int(rng.uniform(45, 80))
+        labels[y, x] = 0
+        norm[y, x] = 2.0
+    labels[61, 70:110] = 0                    # thread gluing halo to bar
+    norm[61, 70:110] = 1.0
+    fail = np.array([1], np.uint8)
+    out = np.empty((64, 10), np.float64)
+    rows = int(lib.lsd_carve(
+        np.ascontiguousarray(norm.reshape(-1)),
+        np.ascontiguousarray(angle.reshape(-1)),
+        np.ascontiguousarray(labels.reshape(-1)),
+        fail, 1, H, W, float(np.pi * 22.5 / 180.0), 0.7, 17, out, 64))
+    assert rows >= 1
+    # the strongest recovered region must be the horizontal bar: axis
+    # along +-x, center near (55, 61), length >= 20
+    o = out[np.argmax(out[:rows, 0])]
+    cx, cy, dx, dy = o[2], o[3], o[4], o[5]
+    assert abs(dy) < 0.2, (dx, dy)
+    assert 40 <= cx <= 75 and 58 <= cy <= 64, (cx, cy)
+    assert (o[7] - o[6]) >= 20.0
