@@ -45,6 +45,11 @@ class AffinityGraph:
     num_nodes: int
 
 
+# batch size above which similarity_coll3d dispatches to the native
+# OpenMP kernel (tests lower it to pin native == numpy equivalence)
+NATIVE_SIM_THRESHOLD = 20000
+
+
 def similarity_coll3d(cams: CameraSet, best: BestMatches,
                       src_rows: np.ndarray, tgt_rows: np.ndarray,
                       sigma_a: float) -> np.ndarray:
@@ -53,7 +58,7 @@ def similarity_coll3d(cams: CameraSet, best: BestMatches,
     Large batches dispatch to the native OpenMP kernel (same double-
     precision math, native/affinity_enum.cpp); the numpy body below is the
     readable twin and the fallback."""
-    if len(src_rows) > 20000:
+    if len(src_rows) > NATIVE_SIM_THRESHOLD:
         from ..native.load import get_lib
         lib = get_lib()
         if lib is not None and hasattr(lib, "affinity_similarity"):
@@ -519,7 +524,6 @@ def build_affinity_graph(best: BestMatches, matches: list,
     B = best.view.size
 
     key_of = best.view.astype(np.int64) * S + best.seg.astype(np.int64)
-    row_of = {int(k): r for r, k in enumerate(key_of)}
 
     has_collin = collin is not None and any(len(c) for c in collin)
     if has_collin and not force_loop:
@@ -536,6 +540,9 @@ def build_affinity_graph(best: BestMatches, matches: list,
                                          collin, cams, config, S, verbose)
 
     adj = potential_correspondence_lists(matches, cams.num_views, S)
+    # only the loop paths below need the python dict (O(B) to build —
+    # megabytes at 1000-view scale, so not built for the vec/native paths)
+    row_of = {int(k): r for r, k in enumerate(key_of)}
 
     def collin_partners(view: int, seg: int):
         if collin is None:

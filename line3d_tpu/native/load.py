@@ -18,7 +18,6 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_HERE, "libline3d_native.so")
 _SRCS = [os.path.join(_HERE, "fh_cluster.cpp"),
          os.path.join(_HERE, "affinity_enum.cpp")]
-_SRC = _SRCS[0]
 
 _lock = threading.Lock()
 _lib = None

@@ -195,10 +195,10 @@ def main():
     host_total = t_aff + t_fh + t_fit
     print(f"[scale] t_cluster (affinity+FH+fit, diffusion off) = "
           f"{host_total:.1f}s; +host-RDD = {host_total + t_diff:.1f}s")
+    verdict = ("OK" if host_total < 0.2 * 75
+               else "OVER 20% — revisit SURVEY 7.6 parallel clustering")
     print(f"[scale] budget check vs 1000-view e2e ~75 s (README): "
-          f"{100 * host_total / 75:.0f}% "
-          f"({'OK' if host_total < 0.2 * 75 else 'OVER 20% — revisit '
-             'SURVEY 7.6 parallel clustering'})")
+          f"{100 * host_total / 75:.0f}% ({verdict})")
 
 
 if __name__ == "__main__":

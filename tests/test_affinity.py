@@ -159,3 +159,43 @@ def test_native_enumerator_matches_loop_and_vec(monkeypatch):
     # agree exactly, not just to 6 decimals
     np.testing.assert_array_equal(g_native.edges_w, g_loop.edges_w)
     assert g_native.num_nodes > 10
+
+
+def test_native_similarity_kernel_matches_numpy(monkeypatch):
+    """The native OpenMP similarity kernel (affinity_similarity,
+    native/affinity_enum.cpp) must agree with the numpy twin on the SAME
+    rows.  Production only dispatches to it above NATIVE_SIM_THRESHOLD
+    (1000-view scale); the threshold is pinned to 0 here so the small
+    test scene exercises the C++ path, then compared against the numpy
+    body with the native library hidden."""
+    from line3d_tpu.native import load as native_load
+    lib = native_load.get_lib()
+    if lib is None or not hasattr(lib, "affinity_similarity"):
+        import pytest
+        pytest.skip("native library unavailable")
+
+    syn = make_scene(num_views=8)
+    cams = syn.cameras
+    cfg = L3DConfig()
+    tr = compute_conditioning(cams.C)
+    cams.transform(tr.Qinv, tr.scale)
+    sim, _ = view_similarities_from_worldpoints(syn.wp_lists,
+                                                syn.scene.num_views)
+    neighbors = find_visual_neighbors(sim, cams.baselines(),
+                                      cfg.min_baseline,
+                                      cfg.matching_neighbors)
+    _, best, _ = engine.run_matching(syn.scene, cams, neighbors, cfg)
+
+    B = best.view.size
+    assert B > 100
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, B, size=4096).astype(np.int64)
+    tgt = rng.integers(0, B, size=4096).astype(np.int64)
+
+    monkeypatch.setattr(affinity, "NATIVE_SIM_THRESHOLD", 0)
+    w_native = affinity.similarity_coll3d(cams, best, src, tgt, cfg.sigma_a)
+    monkeypatch.setattr(native_load, "get_lib", lambda: None)
+    w_numpy = affinity.similarity_coll3d(cams, best, src, tgt, cfg.sigma_a)
+    # same double-precision math; exp() may differ by libm-vs-numpy ulps
+    np.testing.assert_allclose(w_native, w_numpy, rtol=0, atol=1e-12)
+    assert w_native.max() > 0.5  # the batch must contain non-trivial sims
