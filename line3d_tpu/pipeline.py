@@ -336,6 +336,31 @@ class Line3D:
         self._build_scene()
         scene, cams = self.scene, self.cameras
 
+        # collinearity (L3DSegments ctor, segments.h:73-101) is dispatched
+        # FIRST — it only needs the padded segments, so the device runs it
+        # (and streams its pair list back) while the host still builds
+        # neighbors/conditioning/stacks and while the much larger matching
+        # program executes.  Dispatch order is execution order on the
+        # device, and a program's device->host copy overlaps the next
+        # program's execution, so the short program must go first: the
+        # profiled P25 timeline loses ~0.23 s when collinearity trails the
+        # matching program (its exec + transfer then sit on the critical
+        # path instead of hiding inside match execution).
+        cpairs = cw = ccnt = None
+        if self.use_sharded_engine and cfg.use_collinearity:
+            from .parallel import mesh as mesh_mod
+            Vp = mesh_mod.pad_views_to_mesh(
+                scene.num_views, mesh_mod.make_view_mesh(),
+                multiple=cfg.view_pad_multiple)
+            cpairs, cw, ccnt = collinearity_dispatch(
+                scene.segments, scene.seg_mask, cfg.collinearity_sigma,
+                num_pad_views=Vp,
+                pairs_per_seg=cfg.collinearity_pairs_per_seg,
+                aff_threshold=cfg.collinearity_aff_threshold)
+            for _arr in (cpairs, cw, ccnt):
+                if hasattr(_arr, "copy_to_host_async"):
+                    _arr.copy_to_host_async()
+
         # stage 1: visual neighbors (line3D.cc:361) — host, cheap
         tg0 = time.time()
         sim = self._view_similarities()
@@ -349,36 +374,20 @@ class Line3D:
         t_graph = time.time() - tg0
 
         # stage 3+4: matching + verification + greedy selection
-        # (line3D.cc:367-370), overlapped with collinearity (L3DSegments
-        # ctor, segments.h:73-101).  Both device programs are dispatched
-        # before either is read back: JAX dispatch is async and the TPU
-        # service compiles/loads each NEW executable on first execution
-        # (multi-10s through the tunnel), so issuing both up front overlaps
-        # those costs instead of paying them serially.  The sharded engine
+        # (line3D.cc:367-370).  Both device programs are in flight before
+        # either is read back: JAX dispatch is async and the TPU service
+        # compiles/loads each NEW executable on first execution (multi-10s
+        # through the tunnel), so issuing both up front overlaps those
+        # costs instead of paying them serially.  The sharded engine
         # batches the whole scene into one dispatch (and shards it when a
         # mesh is present); the per-view engine is kept for
         # exactness-without-caps runs.
         if self.use_sharded_engine:
-            from .parallel import mesh as mesh_mod
             buf, mctx = engine.dispatch_matching_sharded(
                 scene, cams, self.neighbors, cfg)
+            if hasattr(buf, "copy_to_host_async"):
+                buf.copy_to_host_async()
             if cfg.use_collinearity:
-                Vp = mesh_mod.pad_views_to_mesh(
-                    scene.num_views, mesh_mod.make_view_mesh(),
-                    multiple=cfg.view_pad_multiple)
-                cpairs, cw, ccnt = collinearity_dispatch(
-                    scene.segments, scene.seg_mask, cfg.collinearity_sigma,
-                    num_pad_views=Vp,
-                    pairs_per_seg=cfg.collinearity_pairs_per_seg,
-                    aff_threshold=cfg.collinearity_aff_threshold)
-                # queue both device->host copies before blocking on either:
-                # the matching program finishes first (it was dispatched
-                # first), so its transfer rides the DMA path while the
-                # collinearity program is still executing (~0.15 s saved
-                # per scene through the tunnel).
-                for _arr in (buf, cpairs, cw, ccnt):
-                    if hasattr(_arr, "copy_to_host_async"):
-                        _arr.copy_to_host_async()
                 scene.collin = collinearity_finalize(
                     cpairs, cw, ccnt, max_segments=scene.max_segments,
                     num_views=scene.num_views, verbose=self.verbose)
