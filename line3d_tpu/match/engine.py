@@ -399,19 +399,33 @@ def dispatch_matching_sharded(scene: Scene, cameras: CameraSet,
                               neighbors: list, config: L3DConfig,
                               mesh=None, k_export_per_seg: int = 8,
                               warm_only: bool = False):
-    """Launch the whole-scene matching program WITHOUT blocking.
+    """Launch the whole-scene matching WITHOUT blocking.
 
-    Returns (buf, ctx) where buf is the lazy packed [Vp, D] device array
-    and ctx carries what finalize_matching_sharded needs to decode it, or
-    (None, None) when there is nothing to match.  Keeping dispatch separate
-    from readback lets the pipeline overlap this program's remote compile /
+    Returns (bufs, ctx) where bufs is a list of lazy packed [Vc, D] device
+    arrays (one per view chunk, concatenating to [Vp, D]) and ctx carries
+    what finalize_matching_sharded needs to decode them, or (None, None)
+    when there is nothing to match.  Keeping dispatch separate from
+    readback lets the pipeline overlap this program's remote compile /
     execution with other device programs and host work.
+
+    The view axis is dispatched in chunks of lcm(mesh size,
+    view_pad_multiple) views (one executable, many executions) rather than
+    one whole-scene program, for two reasons:
+      * each chunk's device->host copy (queued here) overlaps the next
+        chunk's execution, so only the LAST chunk's readback sits on the
+        critical path (~0.15 s/scene saved at the P25 shape; the packed
+        buffer is ~180 KB/view against a ~40 MB/s tunnel readback path);
+      * every scene size shares the same chunk-shaped executable, so one
+        warmup covers all scenes and growing a scene never recompiles
+        (the TPU service charges 40-160 s per NEW scene-scale executable).
 
     warm_only=True marks every view inactive: the dispatched program is the
     SAME executable (view_active is a runtime input) so it forces the
     compile/load, but every per-view lax.cond takes the dead branch and
     execution costs ~ms instead of the full scene (~1.4 s at 25 views).
     """
+    import math
+
     from ..parallel import mesh as mesh_mod, sharded
 
     V = scene.num_views
@@ -432,38 +446,57 @@ def dispatch_matching_sharded(scene: Scene, cameras: CameraSet,
     if warm_only:
         stacks["view_active"] = np.zeros_like(stacks["view_active"])
 
+    axis = mesh.axis_names[0]
     # multi-host: the stacks/segments are host-replicated numpy; hand each
     # device its slice of a GLOBAL array (jit over a multi-process mesh
     # rejects host-local inputs), and replicate the sharded output so
-    # finalize can materialize it on every host
+    # finalize can materialize it on every host.  Chunking is skipped —
+    # per-chunk globalize/replicate round trips would serialize on DCN.
     multi = jax.process_count() > 1
     if multi:
         from jax.sharding import PartitionSpec as _P
         from ..parallel import multihost
-        axis = mesh.axis_names[0]
         spec_of = lambda v: _P(axis, *([None] * (np.ndim(v) - 1)))  # noqa
         segments = multihost.globalize(mesh, _P(), segments)
         seg_mask = multihost.globalize(mesh, _P(), seg_mask)
         stacks = {k: multihost.globalize(mesh, spec_of(v), v)
                   for k, v in stacks.items()}
+        chunk = Vp
+    else:
+        chunk = math.lcm(mesh.shape[axis], max(config.view_pad_multiple, 1))
+        # the replicated segment tensor crosses the host->device link once,
+        # not once per chunk
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+        repl = NamedSharding(mesh, _P())
+        segments = jax.device_put(segments, repl)
+        seg_mask = jax.device_put(seg_mask, repl)
 
     m_total = min(config.max_matches_per_segment, n_max * S)
     k_export = min(S * k_export_per_seg, S * m_total)
-    buf = sharded.sharded_match_all_views(
-        segments, seg_mask, stacks,
-        np.float32(config.sigma_p), np.float32(config.sigma_a),
-        np.float32(config.confidence_threshold),
-        quota=config.match_block_quota,
-        m_total=m_total,
-        row_chunk=min(128, S),
-        k_export=k_export,
-        support_t=float(config.support_threshold),
-        mesh=mesh, packed=True)
-    if multi:
-        from ..parallel import multihost
-        buf = multihost.replicate(mesh, buf)
+    bufs = []
+    for c0 in range(0, Vp, chunk):
+        stacks_c = stacks if chunk == Vp else \
+            {k: v[c0:c0 + chunk] for k, v in stacks.items()}
+        buf = sharded.sharded_match_all_views(
+            segments, seg_mask, stacks_c,
+            np.float32(config.sigma_p), np.float32(config.sigma_a),
+            np.float32(config.confidence_threshold),
+            quota=config.match_block_quota,
+            m_total=m_total,
+            row_chunk=min(128, S),
+            k_export=k_export,
+            support_t=float(config.support_threshold),
+            mesh=mesh, packed=True)
+        if multi:
+            from ..parallel import multihost
+            buf = multihost.replicate(mesh, buf)
+        # queue the readback now: it starts the moment this chunk's
+        # program retires, overlapping the remaining chunks' execution
+        if hasattr(buf, "copy_to_host_async"):
+            buf.copy_to_host_async()
+        bufs.append(buf)
     ctx = dict(nb_ids=nb_ids, S=S, k_export=k_export, neighbors=neighbors)
-    return buf, ctx
+    return bufs, ctx
 
 
 def warmup_matching_sharded(num_views: int, max_segments: int,
@@ -504,18 +537,21 @@ def warmup_matching_sharded(num_views: int, max_segments: int,
     return buf
 
 
-def finalize_matching_sharded(buf, ctx, scene: Scene, cameras: CameraSet,
+def finalize_matching_sharded(bufs, ctx, scene: Scene, cameras: CameraSet,
                               config: L3DConfig, verbose: bool = False):
-    """Read back a dispatch_matching_sharded buffer and rebuild the
+    """Read back dispatch_matching_sharded chunk buffers and rebuild the
     ViewMatches / BestMatches structures (blocks on the device)."""
     from ..parallel import sharded
 
     V = scene.num_views
-    if buf is None:
+    if bufs is None:
         return [], _empty_best(), np.ones(V)
     S, k_export = ctx["S"], ctx["k_export"]
     neighbors, nb_ids = ctx["neighbors"], ctx["nb_ids"]
-    out = sharded.unpack_view_outputs(np.asarray(buf), S, k_export)
+    chunks = [np.asarray(b) for b in bufs]   # chunk order = retire order
+    out = sharded.unpack_view_outputs(
+        chunks[0] if len(chunks) == 1 else np.concatenate(chunks),
+        S, k_export)
 
     all_matches = []
     best_rows = []

@@ -383,10 +383,10 @@ class Line3D:
         # mesh is present); the per-view engine is kept for
         # exactness-without-caps runs.
         if self.use_sharded_engine:
+            # chunked dispatch; each chunk's device->host copy is queued
+            # inside and overlaps the next chunk's execution
             buf, mctx = engine.dispatch_matching_sharded(
                 scene, cams, self.neighbors, cfg)
-            if hasattr(buf, "copy_to_host_async"):
-                buf.copy_to_host_async()
             if cfg.use_collinearity:
                 scene.collin = collinearity_finalize(
                     cpairs, cw, ccnt, max_segments=scene.max_segments,
