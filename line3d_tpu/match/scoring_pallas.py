@@ -12,9 +12,17 @@ gather ``proj[q, m, cam[m2]]`` is an N-step unrolled masked select (N =
 Layout per source segment s (grid = (S,)):
   pm_row [16, M]  per-match scalars, m on lanes  (row broadcasts)
   pm_col [M, 16]  the same scalars transposed    (column broadcasts)
-  proj   [7, N, M] hypothesis projections of every match into every
-                   neighbor camera, m on lanes
+  btab   [1, 6N]  P_n[:,:3] @ ray for both rays, per neighbor camera
+  atab   [1, 3N]  P_n @ [C_src; 1] per neighbor camera
   out    [1, M]   confidence per match slot
+
+The hypothesis projections into the N neighbor cameras are computed
+in-kernel on [1, M] rows: the projection of C_src + d*ray is affine in
+the depth d, so each homogeneous component is one scalar*row FMA from
+(atab, btab).  Shipping the projections as an XLA-built [S, 7, N, M]
+stack instead cost ~5 ms/view of elementwise prep + HBM round trip at
+production shape (profiled; the in-kernel rows are noise next to the
+[M, M]-plane work).
 
 All [M, M] planes are oriented [m2 (sublanes), m (lanes)]: quantities of
 the *supporting* match m2 broadcast as columns, quantities of the *scored*
@@ -51,20 +59,24 @@ _TLX, _TLY, _TLZ, _ITDEN = 4, 5, 6, 7
 _Q1X, _Q1Y, _Q2X, _Q2Y = 8, 9, 10, 11
 _DIRX, _DIRY, _DIRZ = 12, 13, 14
 _PM = 16
-# proj plane slots.  The projected-line coefficients arrive PRE-NORMALIZED
-# (multiplied by 1/|(plx, ply)|) and carry the projection-ok gate folded in:
-# when either endpoint's projection has |z| <= EPS, (PLX, PLY, PLZ) =
-# (0, 0, 1e9), which forces db = 1e9 -> dist huge -> conf = 0 with no
-# cancellation risk (the q-dependence is killed by the zero coefficients).
-# This keeps the per-camera gather at 7 planes instead of 9 (the gather is
-# an N-step unrolled masked select over [M, M] planes — its cost is linear
-# in the plane count).
+# hypothesis projections are computed IN-KERNEL (not shipped): the [S, 7,
+# N, M] projection stack the previous revision built in XLA cost ~5 ms/view
+# of elementwise prep + HBM round trip at production shape, while the same
+# math on [1, M] rows inside the kernel is noise next to the [M, M] planes.
+# The projected-line coefficients are normalized (multiplied by
+# 1/|(plx, ply)|) and carry the projection-ok gate folded in: when either
+# endpoint's projection has |z| <= EPS, (PLX, PLY, PLZ) = (0, 0, 1e9),
+# which forces db = 1e9 -> dist huge -> conf = 0 with no cancellation risk
+# (the q-dependence is killed by the zero coefficients).  This keeps the
+# per-camera gather at 7 planes instead of 9 (the gather is an N-step
+# unrolled masked select over [M, M] planes — its cost is linear in the
+# plane count).
 _PX1, _PY1, _PX2, _PY2 = 0, 1, 2, 3
 _PLX, _PLY, _PLZ = 4, 5, 6
 _PJ = 7
 
 
-def _kernel(params_ref, pm_row_ref, proj_ref, out_ref, *,
+def _kernel(params_ref, pm_row_ref, btab_ref, atab_ref, out_ref, *,
             num_cams, m_slots):
     M = m_slots
     f32 = jnp.float32
@@ -87,13 +99,43 @@ def _kernel(params_ref, pm_row_ref, proj_ref, out_ref, *,
     cam_col, valid_col = col(_CAM), col(_VALID)
     cam_row, valid_row = row(_CAM), row(_VALID)
 
-    # camera-select gather: G[q][m2, m] = proj[q, cam[m2], m]
+    # camera-select gather: G[q][m2, m] = proj[q, cam[m2], m], with the
+    # projections into camera n computed on the fly: the projection of the
+    # hypothesis point C_src + d*ray into camera n is affine in d,
+    # q = (P_n [C_src;1]) + d * (P_n[:,:3] ray), so the host precomputes
+    # a_n = P_n [C_src;1] (per camera, atab) and b_{s,n} = P_n[:,:3] ray
+    # (per source segment and camera, btab) and each component is one
+    # scalar*row FMA here (cudawrapper.cu:656-665).  The select cost is
+    # unchanged and the [S,7,N,M] XLA-side projection stack is gone.
+    d1_row, d2_row = row(_D1), row(_D2)
     zero = jnp.zeros((M, M), f32)
     G = [zero] * _PJ
     for n in range(num_cams):
+        a = lambda r: atab_ref[0, n * 3 + r]              # noqa: E731
+        b = lambda k: btab_ref[0, 0, n * 6 + k]           # noqa: E731
+
+        def project(d_row, boff):
+            qx = a(0) + d_row * b(boff + 0)
+            qy = a(1) + d_row * b(boff + 1)
+            qz = a(2) + d_row * b(boff + 2)
+            ok = jnp.abs(qz) > EPS
+            zs = jnp.where(ok, qz, f32(1.0))
+            return qx / zs, qy / zs, ok
+
+        px1, py1, ok1 = project(d1_row, 0)
+        px2, py2, ok2 = project(d2_row, 3)
+        pok = ok1 & ok2
+        plx = py1 - py2
+        ply = px2 - px1
+        plz = px1 * py2 - py1 * px2
+        ipld = f32(1.0) / jnp.maximum(jnp.sqrt(plx * plx + ply * ply), EPS)
+        rows = (px1, py1, px2, py2,
+                jnp.where(pok, plx * ipld, f32(0)),
+                jnp.where(pok, ply * ipld, f32(0)),
+                jnp.where(pok, plz * ipld, f32(1e9)))
         sel = cam_col == f32(n)                       # [M, 1]
         for q in range(_PJ):
-            G[q] = jnp.where(sel, proj_ref[0, q, n:n + 1, :], G[q])
+            G[q] = jnp.where(sel, rows[q], G[q])
 
     # mutual endpoint-to-line 2D distances (cudawrapper.cu:668-683)
     da1 = jnp.abs(col(_TLX) * G[_PX1] + col(_TLY) * G[_PY1]
@@ -189,48 +231,6 @@ def score_matches_pallas(segs_src, mask_src, RtKinv_src, C_src,
                                  + dirc[2] ** 2), EPS)
     dirn = [c / dnorm for c in dirc]
 
-    def proj_all(d, ray):
-        """Project C_src + d*ray into every neighbor camera.
-
-        Fully elementwise in [S, M] minor layout with the tiny camera axis
-        unrolled — an einsum emitting [S, N, 3, M] forces transposed
-        divide/select fusions that cost ~14 ms per plane at production
-        shape (profiled; see CLAUDE.md landmines).
-        """
-        comp = [C_src[i] + d * ray[:, i:i + 1] for i in range(3)]  # [S,M]x3
-        pxs, pys, oks = [], [], []
-        for n in range(N):
-            Pn = P_nb[n]
-            qx = (Pn[0, 0] * comp[0] + Pn[0, 1] * comp[1]
-                  + Pn[0, 2] * comp[2] + Pn[0, 3])
-            qy = (Pn[1, 0] * comp[0] + Pn[1, 1] * comp[1]
-                  + Pn[1, 2] * comp[2] + Pn[1, 3])
-            qz = (Pn[2, 0] * comp[0] + Pn[2, 1] * comp[1]
-                  + Pn[2, 2] * comp[2] + Pn[2, 3])
-            ok = jnp.abs(qz) > EPS
-            zs = jnp.where(ok, qz, 1.0)
-            pxs.append(qx / zs)
-            pys.append(qy / zs)
-            oks.append(ok)
-        return (jnp.stack(pxs, axis=1), jnp.stack(pys, axis=1),
-                jnp.stack(oks, axis=1))              # [S, N, M] each
-
-    px1, py1, ok1 = proj_all(d1, ray1)
-    px2, py2, ok2 = proj_all(d2, ray2)
-    pok = ok1 & ok2
-    plx = py1 - py2
-    ply = px2 - px1
-    plz = px1 * py2 - py1 * px2
-    ipld = 1.0 / jnp.maximum(jnp.sqrt(plx ** 2 + ply ** 2), EPS)
-    # pre-normalize the projected line and fold the projection-ok gate in
-    # (see the slot-layout note at the top): 7 gather planes instead of 9
-    plx = jnp.where(pok, plx * ipld, 0.0)
-    ply = jnp.where(pok, ply * ipld, 0.0)
-    plz = jnp.where(pok, plz * ipld, f32(1e9))
-
-    proj = jnp.stack([px1, py1, px2, py2, plx, ply, plz],
-                     axis=1)                         # [S, 7, N, M]
-
     # slot order must match the _D1.._DIRZ indices above
     planes = [d1, d2, cam.astype(f32), valid.astype(f32),
               tlx, tly, tlz, itden,
@@ -238,6 +238,25 @@ def score_matches_pallas(segs_src, mask_src, RtKinv_src, C_src,
               dirn[0], dirn[1], dirn[2],
               jnp.zeros((S, M), f32)]
     pm_row = jnp.stack(planes, axis=1)               # [S, 16, M]
+
+    # projection-affinity tables (see the kernel comment): the projection
+    # of C_src + d*ray into camera n is a_n + d * (P_n[:,:3] ray), so per
+    # (segment, camera) only the 3-vector b = P_n[:,:3] ray rides to the
+    # kernel (x2 rays), and per camera the constant a_n = P_n [C_src; 1].
+    # Explicit elementwise sums — no einsum, so no bf16 truncation risk.
+    Pr = P_nb.astype(f32)                            # [N, 3, 4]
+    btabs = []
+    for ray in (ray1, ray2):
+        for r in range(3):
+            btabs.append(Pr[None, :, r, 0] * ray[:, None, 0]
+                         + Pr[None, :, r, 1] * ray[:, None, 1]
+                         + Pr[None, :, r, 2] * ray[:, None, 2])  # [S, N]
+    # per-camera layout [n*6 + k]: k = 0..2 ray1 rows, 3..5 ray2 rows
+    btab = jnp.stack(btabs, axis=2)                  # [S, N, 6]
+    btab = btab.reshape(S, 1, N * 6)
+    atab = (Pr[:, :, 0] * C_src[0] + Pr[:, :, 1] * C_src[1]
+            + Pr[:, :, 2] * C_src[2] + Pr[:, :, 3])  # [N, 3]
+    atab = atab.reshape(1, N * 3)
 
     params = jnp.stack([
         1.0 / (2.0 * sigma_p * sigma_p),
@@ -255,12 +274,14 @@ def score_matches_pallas(segs_src, mask_src, RtKinv_src, C_src,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _PM, M), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _PJ, N, M), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, 1, N * 6), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N * 3), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, M), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((S, 1, M), f32),
         interpret=interpret,
-    )(params, pm_row, proj)
+    )(params, pm_row, btab, atab)
     return conf[:, 0, :]
