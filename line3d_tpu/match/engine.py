@@ -398,7 +398,8 @@ def apply_uncapped_fallback(matches, best, median_depths,
 def dispatch_matching_sharded(scene: Scene, cameras: CameraSet,
                               neighbors: list, config: L3DConfig,
                               mesh=None, k_export_per_seg: int = 8,
-                              warm_only: bool = False):
+                              warm_only: bool = False,
+                              segments_dev=None):
     """Launch the whole-scene matching WITHOUT blocking.
 
     Returns (bufs, ctx) where bufs is a list of lazy packed [Vc, D] device
@@ -465,11 +466,17 @@ def dispatch_matching_sharded(scene: Scene, cameras: CameraSet,
     else:
         chunk = math.lcm(mesh.shape[axis], max(config.view_pad_multiple, 1))
         # the replicated segment tensor crosses the host->device link once,
-        # not once per chunk
-        from jax.sharding import NamedSharding, PartitionSpec as _P
-        repl = NamedSharding(mesh, _P())
-        segments = jax.device_put(segments, repl)
-        seg_mask = jax.device_put(seg_mask, repl)
+        # not once per chunk — and not at all when the pipeline already
+        # uploaded it for the collinearity program (segments_dev)
+        if segments_dev is not None:
+            assert segments_dev[0].shape == segments.shape, \
+                (segments_dev[0].shape, segments.shape)
+            segments, seg_mask = segments_dev
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as _P
+            repl = NamedSharding(mesh, _P())
+            segments = jax.device_put(segments, repl)
+            seg_mask = jax.device_put(seg_mask, repl)
 
     m_total = min(config.max_matches_per_segment, n_max * S)
     k_export = min(S * k_export_per_seg, S * m_total)

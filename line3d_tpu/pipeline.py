@@ -346,8 +346,36 @@ class Line3D:
         # profiled P25 timeline loses ~0.23 s when collinearity trails the
         # matching program (its exec + transfer then sit on the critical
         # path instead of hiding inside match execution).
+        import jax
+
         cpairs = cw = ccnt = None
-        if self.use_sharded_engine and cfg.use_collinearity:
+        segments_dev = None
+        if self.use_sharded_engine and cfg.use_collinearity \
+                and jax.process_count() == 1:
+            # pad + upload the scene's largest tensor ONCE, shared by the
+            # collinearity and matching programs (replicated on the mesh)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from .parallel import mesh as mesh_mod
+            mesh = mesh_mod.make_view_mesh()
+            Vp = mesh_mod.pad_views_to_mesh(
+                scene.num_views, mesh, multiple=cfg.view_pad_multiple)
+            pad = Vp - scene.num_views
+            segs_p = np.pad(np.asarray(scene.segments, np.float32),
+                            [(0, pad), (0, 0), (0, 0)])
+            mask_p = np.pad(np.asarray(scene.seg_mask, bool),
+                            [(0, pad), (0, 0)])
+            repl = NamedSharding(mesh, P())
+            segments_dev = (jax.device_put(segs_p, repl),
+                            jax.device_put(mask_p, repl))
+            cpairs, cw, ccnt = collinearity_dispatch(
+                segments_dev[0], segments_dev[1], cfg.collinearity_sigma,
+                num_pad_views=Vp,
+                pairs_per_seg=cfg.collinearity_pairs_per_seg,
+                aff_threshold=cfg.collinearity_aff_threshold)
+            for _arr in (cpairs, cw, ccnt):
+                if hasattr(_arr, "copy_to_host_async"):
+                    _arr.copy_to_host_async()
+        elif self.use_sharded_engine and cfg.use_collinearity:
             from .parallel import mesh as mesh_mod
             Vp = mesh_mod.pad_views_to_mesh(
                 scene.num_views, mesh_mod.make_view_mesh(),
@@ -386,7 +414,8 @@ class Line3D:
             # chunked dispatch; each chunk's device->host copy is queued
             # inside and overlaps the next chunk's execution
             buf, mctx = engine.dispatch_matching_sharded(
-                scene, cams, self.neighbors, cfg)
+                scene, cams, self.neighbors, cfg,
+                segments_dev=segments_dev)
             if cfg.use_collinearity:
                 scene.collin = collinearity_finalize(
                     cpairs, cw, ccnt, max_segments=scene.max_segments,
