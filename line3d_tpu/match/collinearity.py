@@ -229,6 +229,60 @@ def collinearity_dispatch(scene_segments, scene_mask, coll_sigma: float,
         pairs_per_seg=pairs_per_seg, aff_threshold=float(aff_threshold))
 
 
+def collinearity_dispatch_chunked(scene_segments, scene_mask,
+                                  coll_sigma: float, chunk: int,
+                                  quota: int = 8,
+                                  num_pad_views: int | None = None,
+                                  pairs_per_seg: int = 4,
+                                  aff_threshold: float = 0.5):
+    """Launch the collinearity program in `chunk`-view pieces.
+
+    Same math as collinearity_dispatch, but every scene size executes the
+    SAME [chunk, S, ...]-shaped executable (the whole-scene program's view
+    axis bakes Vp into the executable, so each new scene size paid a fresh
+    remote compile, 40-160 s through the TPU tunnel), and each chunk's
+    device->host copy (queued here) overlaps the later chunks' — and the
+    matching program's — execution.  Collinearity is per-view work
+    (K_collinearity runs one view at a time in the reference,
+    segments.h:73-101), so chunking changes nothing semantically.
+
+    Returns a list of (pairs [chunk, C], w [chunk, C], count [chunk])
+    lazy device triples; pass to collinearity_finalize_chunked.
+    """
+    segs = np.asarray(scene_segments, np.float32)
+    mask = np.asarray(scene_mask, bool)
+    V = segs.shape[0]
+    Vp = num_pad_views if num_pad_views and num_pad_views > V else V
+    Vp = -(-Vp // chunk) * chunk
+    if Vp > V:
+        segs = np.pad(segs, [(0, Vp - V), (0, 0), (0, 0)])
+        mask = np.pad(mask, [(0, Vp - V), (0, 0)])
+    sig2 = np.float32(coll_sigma * coll_sigma)
+    out = []
+    for c0 in range(0, Vp, chunk):
+        triple = collinearity_compact_all(
+            jnp.asarray(segs[c0:c0 + chunk]),
+            jnp.asarray(mask[c0:c0 + chunk]), sig2, quota=quota,
+            pairs_per_seg=pairs_per_seg,
+            aff_threshold=float(aff_threshold))
+        for arr in triple:
+            if hasattr(arr, "copy_to_host_async"):
+                arr.copy_to_host_async()
+        out.append(triple)
+    return out
+
+
+def collinearity_finalize_chunked(chunks, max_segments: int,
+                                  num_views: int | None = None,
+                                  verbose=False):
+    """Read back collinearity_dispatch_chunked results (blocks)."""
+    pairs = np.concatenate([np.asarray(c[0]) for c in chunks])
+    w = np.concatenate([np.asarray(c[1]) for c in chunks])
+    count = np.concatenate([np.asarray(c[2]) for c in chunks])
+    return collinearity_finalize(pairs, w, count, max_segments=max_segments,
+                                 num_views=num_views, verbose=verbose)
+
+
 class CollinMaps(list):
     """Per-view sparse collinearity maps: a list of {seg_i: {seg_j: w}}
     dicts (the L3DSegments::collinearities shape, segments.h:115-117) that

@@ -20,7 +20,7 @@ from .scene import Scene, view_similarities_from_worldpoints, \
     find_visual_neighbors
 from .match import engine
 from .match.collinearity import collinearity_maps_fast, \
-    collinearity_dispatch, collinearity_finalize
+    collinearity_dispatch_chunked, collinearity_finalize_chunked
 from .cluster import affinity, fh, diffusion as diffusion_mod
 from .fit import lines as fit_lines
 from .io import writers
@@ -257,15 +257,19 @@ class Line3D:
             max_segments = stable_segment_bucket(max_segments, cfg)
         S = pad_to(max_segments, cfg.pad_multiple)
         self._ready_buckets.add(S)
+        import math
+
         from .parallel import mesh as mesh_mod
-        Vp = mesh_mod.pad_views_to_mesh(
-            max(num_views, 4), mesh_mod.make_view_mesh(),
-            multiple=cfg.view_pad_multiple)
         refs = [engine.warmup_matching_sharded(num_views, S, cfg)]
         if cfg.use_collinearity:
-            refs.append(collinearity_dispatch(
+            # both device programs are chunk-shaped (scene-size
+            # independent), so one chunk's warmup covers every scene
+            mesh = mesh_mod.make_view_mesh()
+            chunk = math.lcm(mesh.shape[mesh.axis_names[0]],
+                             max(cfg.view_pad_multiple, 1))
+            refs.append(collinearity_dispatch_chunked(
                 np.zeros((1, S, 4), np.float32), np.zeros((1, S), bool),
-                cfg.collinearity_sigma, num_pad_views=Vp,
+                cfg.collinearity_sigma, chunk,
                 pairs_per_seg=cfg.collinearity_pairs_per_seg,
                 aff_threshold=cfg.collinearity_aff_threshold))
         self._warmup_refs = refs
@@ -347,47 +351,22 @@ class Line3D:
         # matching program (its exec + transfer then sit on the critical
         # path instead of hiding inside match execution).
         import jax
+        import math
 
-        cpairs = cw = ccnt = None
-        segments_dev = None
-        if self.use_sharded_engine and cfg.use_collinearity \
-                and jax.process_count() == 1:
-            # pad + upload the scene's largest tensor ONCE, shared by the
-            # collinearity and matching programs (replicated on the mesh)
-            from jax.sharding import NamedSharding, PartitionSpec as P
+        coll_chunks = None
+        if self.use_sharded_engine and cfg.use_collinearity:
             from .parallel import mesh as mesh_mod
             mesh = mesh_mod.make_view_mesh()
             Vp = mesh_mod.pad_views_to_mesh(
                 scene.num_views, mesh, multiple=cfg.view_pad_multiple)
-            pad = Vp - scene.num_views
-            segs_p = np.pad(np.asarray(scene.segments, np.float32),
-                            [(0, pad), (0, 0), (0, 0)])
-            mask_p = np.pad(np.asarray(scene.seg_mask, bool),
-                            [(0, pad), (0, 0)])
-            repl = NamedSharding(mesh, P())
-            segments_dev = (jax.device_put(segs_p, repl),
-                            jax.device_put(mask_p, repl))
-            cpairs, cw, ccnt = collinearity_dispatch(
-                segments_dev[0], segments_dev[1], cfg.collinearity_sigma,
-                num_pad_views=Vp,
-                pairs_per_seg=cfg.collinearity_pairs_per_seg,
-                aff_threshold=cfg.collinearity_aff_threshold)
-            for _arr in (cpairs, cw, ccnt):
-                if hasattr(_arr, "copy_to_host_async"):
-                    _arr.copy_to_host_async()
-        elif self.use_sharded_engine and cfg.use_collinearity:
-            from .parallel import mesh as mesh_mod
-            Vp = mesh_mod.pad_views_to_mesh(
-                scene.num_views, mesh_mod.make_view_mesh(),
-                multiple=cfg.view_pad_multiple)
-            cpairs, cw, ccnt = collinearity_dispatch(
+            chunk = math.lcm(mesh.shape[mesh.axis_names[0]],
+                             max(cfg.view_pad_multiple, 1)) \
+                if jax.process_count() == 1 else Vp
+            coll_chunks = collinearity_dispatch_chunked(
                 scene.segments, scene.seg_mask, cfg.collinearity_sigma,
-                num_pad_views=Vp,
+                chunk, num_pad_views=Vp,
                 pairs_per_seg=cfg.collinearity_pairs_per_seg,
                 aff_threshold=cfg.collinearity_aff_threshold)
-            for _arr in (cpairs, cw, ccnt):
-                if hasattr(_arr, "copy_to_host_async"):
-                    _arr.copy_to_host_async()
 
         # stage 1: visual neighbors (line3D.cc:361) — host, cheap
         tg0 = time.time()
@@ -414,11 +393,10 @@ class Line3D:
             # chunked dispatch; each chunk's device->host copy is queued
             # inside and overlaps the next chunk's execution
             buf, mctx = engine.dispatch_matching_sharded(
-                scene, cams, self.neighbors, cfg,
-                segments_dev=segments_dev)
+                scene, cams, self.neighbors, cfg)
             if cfg.use_collinearity:
-                scene.collin = collinearity_finalize(
-                    cpairs, cw, ccnt, max_segments=scene.max_segments,
+                scene.collin = collinearity_finalize_chunked(
+                    coll_chunks, max_segments=scene.max_segments,
                     num_views=scene.num_views, verbose=self.verbose)
             t1 = time.time()
             matches, best, med = engine.finalize_matching_sharded(
