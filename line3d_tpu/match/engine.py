@@ -439,6 +439,17 @@ def dispatch_matching_sharded(scene: Scene, cameras: CameraSet,
         mesh = mesh_mod.make_view_mesh()
     Vp = mesh_mod.pad_views_to_mesh(V, mesh,
                                     multiple=config.view_pad_multiple)
+    # the replicated segment tensor [Vp, S, 4] is an input of every chunk
+    # execution, so its view axis is part of the executable shape: bucket
+    # the chunk count to powers of two and the framework only ever
+    # compiles O(log V) matching executables (a new Vp costs a 40-160 s
+    # remote compile through the TPU tunnel; padded views are dead
+    # lax.cond branches, ~0.1 ms each)
+    chunk_step = math.lcm(mesh.shape[mesh.axis_names[0]],
+                          max(config.view_pad_multiple, 1))
+    if jax.process_count() == 1:
+        n_chunks = -(-Vp // chunk_step)
+        Vp = chunk_step * (1 << (n_chunks - 1).bit_length())
     n_pad = config.matching_neighbors \
         if config.stable_shapes and config.matching_neighbors > 0 else None
     segments, seg_mask, stacks, nb_ids = sharded.build_stacks(
@@ -464,7 +475,7 @@ def dispatch_matching_sharded(scene: Scene, cameras: CameraSet,
                   for k, v in stacks.items()}
         chunk = Vp
     else:
-        chunk = math.lcm(mesh.shape[axis], max(config.view_pad_multiple, 1))
+        chunk = chunk_step
         # the replicated segment tensor crosses the host->device link once,
         # not once per chunk — and not at all when the pipeline already
         # uploaded it for the collinearity program (segments_dev)

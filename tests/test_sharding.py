@@ -206,3 +206,47 @@ def test_view_scan_partitions_over_mesh(setup, n_dev):
         assert full not in body, (
             "full-shape neighbor stack inside the shard_map body — the "
             "scan runs all Vp views on every device")
+
+
+def test_chunked_dispatch_executable_is_scene_size_independent():
+    """Two different scene sizes must reuse the SAME chunk-shaped
+    executables for matching and collinearity (the whole point of chunked
+    dispatch: each new scene size used to pay a fresh scene-scale remote
+    compile, 40-160 s through the TPU tunnel)."""
+    from line3d_tpu.match.collinearity import collinearity_compact_all
+
+    cfg = L3DConfig(pad_multiple=64)
+    results = {}
+    # 17 and 25 views land in the same power-of-two chunk-count bucket
+    # (Vp = 32); a bucket boundary crossing MAY compile one more size —
+    # the guarantee is O(log V) executables, not one
+    for V in (17, 25):
+        syn = make_scene(num_views=V)
+        cams = syn.cameras
+        tr = compute_conditioning(cams.C)
+        cams.transform(tr.Qinv, tr.scale)
+        sim, _ = view_similarities_from_worldpoints(syn.wp_lists, V)
+        neighbors = find_visual_neighbors(sim, cams.baselines(),
+                                          cfg.min_baseline, 4)
+        syn.scene.config = cfg
+        before = (sharded.sharded_match_all_views._cache_size(),
+                  collinearity_compact_all._cache_size())
+        bufs, ctx = engine.dispatch_matching_sharded(
+            syn.scene, cams, neighbors, cfg)
+        from line3d_tpu.match.collinearity import \
+            collinearity_dispatch_chunked
+        chunks = collinearity_dispatch_chunked(
+            syn.scene.segments, syn.scene.seg_mask,
+            cfg.collinearity_sigma, chunk=8)
+        matches, best, med = engine.finalize_matching_sharded(
+            bufs, ctx, syn.scene, cams, cfg)
+        results[V] = (sharded.sharded_match_all_views._cache_size(),
+                      collinearity_compact_all._cache_size(),
+                      sum(len(vm.src_seg) for vm in matches))
+        assert results[V][2] > 0, f"no matches at V={V}"
+
+    # the second scene size must not have added executables
+    assert results[25][0] == results[17][0], \
+        "matching executable recompiled for a second scene size"
+    assert results[25][1] == results[17][1], \
+        "collinearity executable recompiled for a second scene size"
