@@ -1,6 +1,6 @@
 """Post-change TPU validation: run after any compute-path change once the
 axon tunnel is reachable.  Prints per-stage timings to compare against the
-README table (warm e2e 0.81 s @ 12 views, 1.64 s @ 25 views at production
+README table (warm e2e 0.65 s @ 12 views, 1.27 s @ 25 views at production
 shape) and exercises the TPU-only paths CPU tests cannot reach:
 
   1. tiny probe (fails fast when the tunnel is down),
@@ -97,7 +97,7 @@ def main():
             best = min(best, dt)
         print(f"[3] warm e2e {nviews} views x 2990 segs: {best:.2f}s "
               f"({nviews / best:.1f} images/s), {len(res)} lines "
-              f"[README: {'0.81' if nviews == 12 else '1.64'}s]")
+              f"[README: {'0.65' if nviews == 12 else '1.27'}s]")
         tstats = {k: round(v, 3) for k, v in l3d2.stats.items()
                   if isinstance(v, float)}
         print(f"    stage times: {tstats}")
