@@ -208,21 +208,15 @@ def collinearity_dispatch(scene_segments, scene_mask, coll_sigma: float,
     the matching program's (both multi-10s through the TPU tunnel).
 
     `num_pad_views` pads the view axis (extra views fully masked) so the
-    compiled program shape is bucket-stable across scenes.  Already-padded
-    device arrays (jax.Array) pass through untouched, so the pipeline can
-    share ONE uploaded copy of the scene's largest tensor between this
-    program and the matching program.
+    compiled program shape is bucket-stable across scenes.
     """
-    if isinstance(scene_segments, jax.Array):
-        segs, mask = scene_segments, scene_mask
-    else:
-        segs = np.asarray(scene_segments, np.float32)
-        mask = np.asarray(scene_mask, bool)
-        V = segs.shape[0]
-        if num_pad_views is not None and num_pad_views > V:
-            pad = num_pad_views - V
-            segs = np.pad(segs, [(0, pad), (0, 0), (0, 0)])
-            mask = np.pad(mask, [(0, pad), (0, 0)])
+    segs = np.asarray(scene_segments, np.float32)
+    mask = np.asarray(scene_mask, bool)
+    V = segs.shape[0]
+    if num_pad_views is not None and num_pad_views > V:
+        pad = num_pad_views - V
+        segs = np.pad(segs, [(0, pad), (0, 0), (0, 0)])
+        mask = np.pad(mask, [(0, pad), (0, 0)])
     sig2 = np.float32(coll_sigma * coll_sigma)
     return collinearity_compact_all(
         jnp.asarray(segs), jnp.asarray(mask), sig2, quota=quota,

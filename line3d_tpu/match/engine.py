@@ -398,8 +398,7 @@ def apply_uncapped_fallback(matches, best, median_depths,
 def dispatch_matching_sharded(scene: Scene, cameras: CameraSet,
                               neighbors: list, config: L3DConfig,
                               mesh=None, k_export_per_seg: int = 8,
-                              warm_only: bool = False,
-                              segments_dev=None):
+                              warm_only: bool = False):
     """Launch the whole-scene matching WITHOUT blocking.
 
     Returns (bufs, ctx) where bufs is a list of lazy packed [Vc, D] device
@@ -425,8 +424,6 @@ def dispatch_matching_sharded(scene: Scene, cameras: CameraSet,
     compile/load, but every per-view lax.cond takes the dead branch and
     execution costs ~ms instead of the full scene (~1.4 s at 25 views).
     """
-    import math
-
     from ..parallel import mesh as mesh_mod, sharded
 
     V = scene.num_views
@@ -445,8 +442,8 @@ def dispatch_matching_sharded(scene: Scene, cameras: CameraSet,
     # compiles O(log V) matching executables (a new Vp costs a 40-160 s
     # remote compile through the TPU tunnel; padded views are dead
     # lax.cond branches, ~0.1 ms each)
-    chunk_step = math.lcm(mesh.shape[mesh.axis_names[0]],
-                          max(config.view_pad_multiple, 1))
+    chunk_step = mesh_mod.view_chunk_size(
+        mesh, config.view_pad_multiple, axis=mesh.axis_names[0])
     if jax.process_count() == 1:
         n_chunks = -(-Vp // chunk_step)
         Vp = chunk_step * (1 << (n_chunks - 1).bit_length())
@@ -476,23 +473,28 @@ def dispatch_matching_sharded(scene: Scene, cameras: CameraSet,
         chunk = Vp
     else:
         chunk = chunk_step
-        # the replicated segment tensor crosses the host->device link once,
-        # not once per chunk — and not at all when the pipeline already
-        # uploaded it for the collinearity program (segments_dev)
-        if segments_dev is not None:
-            assert segments_dev[0].shape == segments.shape, \
-                (segments_dev[0].shape, segments.shape)
-            segments, seg_mask = segments_dev
-        else:
-            from jax.sharding import NamedSharding, PartitionSpec as _P
-            repl = NamedSharding(mesh, _P())
-            segments = jax.device_put(segments, repl)
-            seg_mask = jax.device_put(seg_mask, repl)
+        # the replicated segment tensor crosses the host->device link
+        # once, not once per chunk
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+        repl = NamedSharding(mesh, _P())
+        segments = jax.device_put(segments, repl)
+        seg_mask = jax.device_put(seg_mask, repl)
 
     m_total = min(config.max_matches_per_segment, n_max * S)
     k_export = min(S * k_export_per_seg, S * m_total)
+    # trailing all-padding chunks (pow2 bucketing can add several) are
+    # skipped on the host — finalize only reads rows of views with
+    # neighbors, all of which precede last_active.  Chunk 0 is always
+    # dispatched so warm_only still forces the compile/load.
+    if multi:
+        last_active = Vp - 1
+    else:
+        act = np.flatnonzero(np.asarray(stacks["view_active"]))
+        last_active = int(act[-1]) if act.size else 0
     bufs = []
     for c0 in range(0, Vp, chunk):
+        if c0 > last_active:
+            break
         stacks_c = stacks if chunk == Vp else \
             {k: v[c0:c0 + chunk] for k, v in stacks.items()}
         buf = sharded.sharded_match_all_views(

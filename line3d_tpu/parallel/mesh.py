@@ -15,6 +15,22 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def view_chunk_size(mesh: "Mesh", multiple: int = 1,
+                    axis: str = "views") -> int:
+    """Chunk size for chunked device-program dispatch over the view axis.
+
+    Both device programs (matching, collinearity) execute in chunks of this
+    many views so every scene shares the same chunk-shaped executables;
+    warmup (pipeline.warmup_async) and dispatch (match/engine.py,
+    pipeline.compute_3d_model) MUST use this one formula or a warmed
+    executable never matches the runtime one and every scene pays the
+    40-160 s cold remote compile.  Multi-process runs do not chunk
+    (per-chunk globalize/replicate round trips would serialize on DCN) —
+    callers use Vp there.
+    """
+    return math.lcm(mesh.shape[axis], max(int(multiple), 1))
+
+
 def make_view_mesh(devices=None, axis: str = "views") -> Mesh:
     if devices is None:
         devices = jax.devices()

@@ -257,16 +257,20 @@ class Line3D:
             max_segments = stable_segment_bucket(max_segments, cfg)
         S = pad_to(max_segments, cfg.pad_multiple)
         self._ready_buckets.add(S)
-        import math
+        import jax
 
         from .parallel import mesh as mesh_mod
         refs = [engine.warmup_matching_sharded(num_views, S, cfg)]
         if cfg.use_collinearity:
             # both device programs are chunk-shaped (scene-size
-            # independent), so one chunk's warmup covers every scene
+            # independent), so one chunk's warmup covers every scene;
+            # multi-process runs dispatch whole-scene (no chunking), so
+            # warm the Vp-shaped program there instead
             mesh = mesh_mod.make_view_mesh()
-            chunk = math.lcm(mesh.shape[mesh.axis_names[0]],
-                             max(cfg.view_pad_multiple, 1))
+            chunk = mesh_mod.view_chunk_size(mesh, cfg.view_pad_multiple) \
+                if jax.process_count() == 1 else \
+                mesh_mod.pad_views_to_mesh(max(num_views, 4), mesh,
+                                           multiple=cfg.view_pad_multiple)
             refs.append(collinearity_dispatch_chunked(
                 np.zeros((1, S, 4), np.float32), np.zeros((1, S), bool),
                 cfg.collinearity_sigma, chunk,
@@ -351,7 +355,6 @@ class Line3D:
         # matching program (its exec + transfer then sit on the critical
         # path instead of hiding inside match execution).
         import jax
-        import math
 
         coll_chunks = None
         if self.use_sharded_engine and cfg.use_collinearity:
@@ -359,8 +362,7 @@ class Line3D:
             mesh = mesh_mod.make_view_mesh()
             Vp = mesh_mod.pad_views_to_mesh(
                 scene.num_views, mesh, multiple=cfg.view_pad_multiple)
-            chunk = math.lcm(mesh.shape[mesh.axis_names[0]],
-                             max(cfg.view_pad_multiple, 1)) \
+            chunk = mesh_mod.view_chunk_size(mesh, cfg.view_pad_multiple) \
                 if jax.process_count() == 1 else Vp
             coll_chunks = collinearity_dispatch_chunked(
                 scene.segments, scene.seg_mask, cfg.collinearity_sigma,

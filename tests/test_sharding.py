@@ -229,8 +229,6 @@ def test_chunked_dispatch_executable_is_scene_size_independent():
         neighbors = find_visual_neighbors(sim, cams.baselines(),
                                           cfg.min_baseline, 4)
         syn.scene.config = cfg
-        before = (sharded.sharded_match_all_views._cache_size(),
-                  collinearity_compact_all._cache_size())
         bufs, ctx = engine.dispatch_matching_sharded(
             syn.scene, cams, neighbors, cfg)
         from line3d_tpu.match.collinearity import \
