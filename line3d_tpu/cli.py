@@ -77,6 +77,10 @@ def _add_common_flags(ap: argparse.ArgumentParser):
                     help="capture a jax.profiler trace of the device "
                          "pipeline into this directory (view with "
                          "tensorboard/xprof; works through the TPU tunnel)")
+    ap.add_argument("--debug_ply", type=_parse_bool, default=False,
+                    help="additionally dump the 3D line model as an ASCII "
+                         "PLY line set (the reference ships this only as "
+                         "commented debug code, line3D.cc:650-694)")
 
 
 def _config_from_args(args) -> L3DConfig:
@@ -124,6 +128,9 @@ def _finish(l3d: Line3D, args, output_folder: str):
     stem = os.path.join(output_folder, _result_stem(args))
     l3d.save_3d_lines_as_stl(result, stem + ".stl")
     l3d.save_3d_lines_as_txt(result, stem + ".txt")
+    if getattr(args, "debug_ply", False):
+        from .utils import visualize
+        visualize.save_ply(result, stem + ".ply")
     num_segs = sum(len(r.segments3d) for r in result)
     print(f"[SYS] 3D lines:        {len(result)}")
     print(f"[SYS] 3D segments:     {num_segs}")
