@@ -243,6 +243,17 @@ def test_chunked_dispatch_executable_is_scene_size_independent():
                       sum(len(vm.src_seg) for vm in matches))
         assert results[V][2] > 0, f"no matches at V={V}"
 
+        # pow2 bucketing pads V=17 to Vp=32, which makes the final chunks
+        # all-padding and exercises the trailing-dead-chunk skip — the
+        # chunked result must still equal the per-view reference engine
+        m_ref, b_ref, _ = engine.run_matching(syn.scene, cams, neighbors,
+                                              cfg)
+        ref = {vm.view: set(zip(vm.src_seg.tolist(), vm.tgt_view.tolist(),
+                                vm.tgt_seg.tolist())) for vm in m_ref}
+        got = {vm.view: set(zip(vm.src_seg.tolist(), vm.tgt_view.tolist(),
+                                vm.tgt_seg.tolist())) for vm in matches}
+        assert got == ref, f"chunked != per-view engine at V={V}"
+
     # the second scene size must not have added executables
     assert results[25][0] == results[17][0], \
         "matching executable recompiled for a second scene size"
