@@ -33,6 +33,20 @@ class L3DConfig:
     # ~1 pair/segment on synthetic scenes; the padded buffer dominates the
     # device link at large view counts (~0.2 GB at 1000 views with 8/seg).
     collinearity_pairs_per_seg: int = 4
+    # Per-(segment, 128-partner-block) quota during the device-side
+    # compaction of the collinearity keep-plane (compact_rows_blockq) —
+    # the collinearity analogue of match_block_quota.  Drops are counted
+    # and repaired by collinearity_exact_fallback.
+    collinearity_block_quota: int = 8
+    # Reference-exactness guard for the collinearity export quota/cap,
+    # mirroring uncapped_fallback: the reference keeps EVERY collinear pair
+    # (sparse map, segments.h:76-100), so a nonzero drop count means the
+    # exported pair list differs from the reference's.  With this flag on
+    # (default), views whose drop counter is nonzero get their collinearity
+    # map re-derived exactly from the dense [S, S] matrix (collinearity is
+    # view-local, so the patched maps equal an uncapped run); with it off,
+    # drops are only warned about.
+    collinearity_exact_fallback: bool = True
 
     # --- matching (commons.h:52-58, cudawrapper.h:45-46) ---
     matching_neighbors: int = 10         # L3D_DEF_MATCHING_NEIGHBORS

@@ -286,11 +286,18 @@ class CollinMaps(list):
 
     flat_view [P] int32, flat_i / flat_j [P] int32, flat_w [P] f32 —
     sorted by (view, i, j) ascending (the device export order).
+
+    dropped_per_view [V] int64 counts pairs the export quota/cap dropped
+    in each view (0 everywhere proves the compacted export equals the
+    reference's unbounded sparse map, segments.h:76-100);
+    dropped_total is its sum.
     """
     flat_view: np.ndarray = None
     flat_i: np.ndarray = None
     flat_j: np.ndarray = None
     flat_w: np.ndarray = None
+    dropped_per_view: np.ndarray = None
+    dropped_total: int = 0
 
 
 def collinearity_finalize(pairs, w, count, max_segments: int,
@@ -303,11 +310,20 @@ def collinearity_finalize(pairs, w, count, max_segments: int,
     S = max_segments
     V = pairs.shape[0] if num_views is None else num_views
     exported = (pairs[:V] >= 0).sum(axis=1)
-    dropped = int(np.maximum(count[:V] - exported, 0).sum())
-    if dropped and verbose:
+    dropped_pv = np.maximum(count[:V].astype(np.int64) - exported, 0)
+    dropped = int(dropped_pv.sum())
+    if dropped:
+        # unconditional: a result-affecting drop must never be silent (the
+        # reference keeps every pair, segments.h:76-100); the pipeline's
+        # collinearity_exact_fallback guard repairs the affected views
         print(f"[L3D] WARNING: collinearity quota/cap dropped up to "
-              f"{dropped} pairs (raise quota / cap)")
+              f"{dropped} pairs across "
+              f"{int((dropped_pv > 0).sum())} view(s) (raise "
+              f"collinearity_pairs_per_seg, or rely on "
+              f"collinearity_exact_fallback)")
     out = CollinMaps()
+    out.dropped_per_view = dropped_pv
+    out.dropped_total = dropped
     fv, fi, fj, fw = [], [], [], []
     for v in range(V):
         d: dict = {}
@@ -327,6 +343,64 @@ def collinearity_finalize(pairs, w, count, max_segments: int,
     out.flat_j = np.concatenate(fj) if fj else np.zeros(0, np.int32)
     out.flat_w = np.concatenate(fw) if fw else np.zeros(0, np.float32)
     return out
+
+
+def apply_collinearity_exact_fallback(coll: CollinMaps, scene_segments,
+                                      scene_mask, coll_sigma: float,
+                                      aff_threshold: float = 0.5,
+                                      verbose: bool = False):
+    """Re-derive overflowed views' collinearity maps EXACTLY.
+
+    Reference-exactness guard mirroring engine.apply_uncapped_fallback:
+    the reference keeps every collinear pair (segments.h:76-100), while the
+    device export path bounds the per-view pair list by a block quota and a
+    flat cap.  Collinearity is strictly view-local (K_collinearity runs one
+    view at a time, cudawrapper.cu:833-855), so recomputing only the views
+    whose drop counter is nonzero from the dense [S, S] matrix — which by
+    construction holds ALL pairs — yields maps equal to a fully uncapped
+    run.  Returns (patched CollinMaps, number of views recomputed).
+    """
+    if coll.dropped_per_view is None or coll.dropped_total == 0:
+        return coll, 0
+    views = np.nonzero(coll.dropped_per_view > 0)[0]
+    S = scene_segments.shape[1]
+    sig2 = np.float32(coll_sigma * coll_sigma)
+    # per-view boundaries in the (view-sorted) flat arrays
+    starts = np.searchsorted(coll.flat_view, np.arange(len(coll) + 1))
+    fv, fi, fj, fw = [], [], [], []
+    prev = 0
+    for v in views.tolist():
+        m = np.asarray(collinearity_matrix(
+            jnp.asarray(scene_segments[v]), jnp.asarray(scene_mask[v]),
+            sig2, aff_threshold=float(aff_threshold)))
+        ii, jj = np.nonzero(m > 0.0)          # row-major == (i, j) ascending
+        d: dict = {}
+        for i, j in zip(ii.tolist(), jj.tolist()):
+            d.setdefault(i, {})[j] = float(m[i, j])
+        coll[v] = d
+        # untouched views [prev, v) keep their flat slices; view v is rebuilt
+        sl = slice(starts[prev], starts[v])
+        fv.append(coll.flat_view[sl]); fi.append(coll.flat_i[sl])
+        fj.append(coll.flat_j[sl]);    fw.append(coll.flat_w[sl])
+        fv.append(np.full(len(ii), v, np.int32))
+        fi.append(ii.astype(np.int32)); fj.append(jj.astype(np.int32))
+        fw.append(m[ii, jj].astype(np.float32))
+        prev = v + 1
+        if verbose:
+            print(f"[L3D] view {v}: collinearity re-derived exactly "
+                  f"({len(ii)} pairs)")
+    sl = slice(starts[prev], starts[len(coll)])
+    fv.append(coll.flat_view[sl]); fi.append(coll.flat_i[sl])
+    fj.append(coll.flat_j[sl]);    fw.append(coll.flat_w[sl])
+    coll.flat_view = np.concatenate(fv)
+    coll.flat_i = np.concatenate(fi)
+    coll.flat_j = np.concatenate(fj)
+    coll.flat_w = np.concatenate(fw)
+    # the patched maps are exact: zero the drop counters (capture
+    # dropped_total BEFORE calling if the pre-fallback count is wanted)
+    coll.dropped_per_view = np.zeros_like(coll.dropped_per_view)
+    coll.dropped_total = 0
+    return coll, int(len(views))
 
 
 def collinearity_maps_fast(scene_segments, scene_mask, coll_sigma: float,

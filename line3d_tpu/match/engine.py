@@ -617,15 +617,16 @@ def run_matching_sharded(scene: Scene, cameras: CameraSet, neighbors: list,
                          config: L3DConfig, verbose: bool = False,
                          mesh=None, k_export_per_seg: int = 8):
     """Sharded/batched variant of run_matching: the whole scene's matching
-    runs in ONE device dispatch over a views mesh (parallel/sharded.py),
-    then the host reconstructs the same ViewMatches / BestMatches
-    structures.  Equivalence with the per-view engine is covered by
-    tests/test_sharding.py.
+    runs as chunked executions of one view-bucketed device program over a
+    views mesh (parallel/sharded.py) — each chunk's device->host copy
+    overlaps the next chunk's execution — then the host reconstructs the
+    same ViewMatches / BestMatches structures.  Equivalence with the
+    per-view engine is covered by tests/test_sharding.py.
     """
-    buf, ctx = dispatch_matching_sharded(scene, cameras, neighbors, config,
-                                         mesh=mesh,
-                                         k_export_per_seg=k_export_per_seg)
-    return finalize_matching_sharded(buf, ctx, scene, cameras, config,
+    bufs, ctx = dispatch_matching_sharded(scene, cameras, neighbors, config,
+                                          mesh=mesh,
+                                          k_export_per_seg=k_export_per_seg)
+    return finalize_matching_sharded(bufs, ctx, scene, cameras, config,
                                      verbose=verbose)
 
 

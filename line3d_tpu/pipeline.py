@@ -20,7 +20,8 @@ from .scene import Scene, view_similarities_from_worldpoints, \
     find_visual_neighbors
 from .match import engine
 from .match.collinearity import collinearity_maps_fast, \
-    collinearity_dispatch_chunked, collinearity_finalize_chunked
+    collinearity_dispatch_chunked, collinearity_finalize_chunked, \
+    apply_collinearity_exact_fallback
 from .cluster import affinity, fh, diffusion as diffusion_mod
 from .fit import lines as fit_lines
 from .io import writers
@@ -274,6 +275,7 @@ class Line3D:
             refs.append(collinearity_dispatch_chunked(
                 np.zeros((1, S, 4), np.float32), np.zeros((1, S), bool),
                 cfg.collinearity_sigma, chunk,
+                quota=cfg.collinearity_block_quota,
                 pairs_per_seg=cfg.collinearity_pairs_per_seg,
                 aff_threshold=cfg.collinearity_aff_threshold))
         self._warmup_refs = refs
@@ -367,6 +369,7 @@ class Line3D:
             coll_chunks = collinearity_dispatch_chunked(
                 scene.segments, scene.seg_mask, cfg.collinearity_sigma,
                 chunk, num_pad_views=Vp,
+                quota=cfg.collinearity_block_quota,
                 pairs_per_seg=cfg.collinearity_pairs_per_seg,
                 aff_threshold=cfg.collinearity_aff_threshold)
 
@@ -408,6 +411,7 @@ class Line3D:
             if cfg.use_collinearity:
                 scene.collin = collinearity_maps_fast(
                     scene.segments, scene.seg_mask, cfg.collinearity_sigma,
+                    quota=cfg.collinearity_block_quota,
                     pairs_per_seg=cfg.collinearity_pairs_per_seg,
                     aff_threshold=cfg.collinearity_aff_threshold)
             t1 = time.time()
@@ -434,6 +438,19 @@ class Line3D:
                       f"(uncapped_fallback off — results may differ from "
                       f"the reference; raise max_matches_per_segment / "
                       f"match_block_quota)")
+        # reference-exactness guard for collinearity (the reference keeps
+        # every pair, segments.h:76-100): re-derive overflowed views'
+        # maps from the dense matrix.  Runs after the matching readback so
+        # its device work doesn't serialize ahead of the match transfer.
+        coll_overflow, n_recollin = 0, 0
+        if cfg.use_collinearity and scene.collin is not None:
+            coll_overflow = int(getattr(scene.collin, "dropped_total", 0))
+            if coll_overflow and cfg.collinearity_exact_fallback:
+                scene.collin, n_recollin = apply_collinearity_exact_fallback(
+                    scene.collin, scene.segments, scene.seg_mask,
+                    cfg.collinearity_sigma,
+                    aff_threshold=cfg.collinearity_aff_threshold,
+                    verbose=self.verbose)
         t_collin = t1 - t0
         t2 = time.time()
 
@@ -473,7 +490,9 @@ class Line3D:
             t_setup=t_collin - t_graph, t_graph=t_graph,
             t_match=t2 - t1, t_cluster=t3 - t2, t_total=t3 - t0,
             match_overflow=int(overflow_total),
-            views_rematched_uncapped=int(n_rematched))
+            views_rematched_uncapped=int(n_rematched),
+            collinearity_overflow=coll_overflow,
+            views_recollin_exact=int(n_recollin))
         if self.verbose:
             print(f"[L3D] {len(self.result)} 3D lines found! "
                   f"(match {t2-t1:.2f}s, cluster {t3-t2:.2f}s)")

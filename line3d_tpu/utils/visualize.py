@@ -24,19 +24,27 @@ import numpy as np
 
 def _draw_segment(img: np.ndarray, x1, y1, x2, y2, color, thickness: int):
     """Bresenham with a square brush of the given thickness (like the
-    reference's cv::line(..., 4) for debug purposes)."""
+    reference's cv::line(..., 4) for debug purposes).
+
+    Pixels outside the canvas are dropped (geometric clipping, matching
+    cv::line) rather than clamped to the border — clamping would smear a
+    spurious line along the image edge for segments extending past it.
+    """
     h, w = img.shape[:2]
     x1, y1, x2, y2 = int(round(x1)), int(round(y1)), \
         int(round(x2)), int(round(y2))
     n = max(abs(x2 - x1), abs(y2 - y1), 1)
     xs = np.rint(np.linspace(x1, x2, n + 1)).astype(np.int64)
     ys = np.rint(np.linspace(y1, y2, n + 1)).astype(np.int64)
-    r = max(thickness // 2, 0)
-    for dx in range(-r, r + 1):
-        for dy in range(-r, r + 1):
-            xi = np.clip(xs + dx, 0, w - 1)
-            yi = np.clip(ys + dy, 0, h - 1)
-            img[yi, xi] = color
+    # brush offsets span exactly `thickness` pixels
+    lo = -((max(thickness, 1) - 1) // 2)
+    hi = max(thickness, 1) // 2
+    for dx in range(lo, hi + 1):
+        for dy in range(lo, hi + 1):
+            xi = xs + dx
+            yi = ys + dy
+            keep = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+            img[yi[keep], xi[keep]] = color
 
 
 def draw_lines(segments, width: int, height: int, highlight=(),
