@@ -134,10 +134,25 @@ def _min_symmetrize(i, j, w, eps):
     return i, j, w_sym
 
 
+def resolve_backend(config: L3DConfig) -> str:
+    """Resolve config.diffusion_backend: "auto" becomes "device" on a TPU
+    backend (where the jitted fori_loop path is ~instant) and "host" on
+    CPU (keeping the float64 reference path for tests/golden runs)."""
+    b = config.diffusion_backend
+    if b != "auto":
+        return b
+    import jax
+    try:
+        return "device" if jax.default_backend() in ("tpu", "axon") \
+            else "host"
+    except Exception:
+        return "host"
+
+
 def run_diffusion(graph, config: L3DConfig, verbose: bool = False,
                   mesh=None):
     """Diffuse a cluster.AffinityGraph in place; returns a new edge list."""
-    if config.diffusion_backend == "device" \
+    if resolve_backend(config) == "device" \
             and config.diffusion_mode == "reference":
         from .diffusion_device import diffuse_reference_device
         fn = lambda *a: diffuse_reference_device(*a, mesh=mesh)  # noqa: E731

@@ -464,7 +464,7 @@ class Line3D:
             # capped at ~1000 images by single-device memory,
             # README.txt:144-146; the edge-sharded plan removes that)
             d_mesh = None
-            if cfg.diffusion_backend == "device":
+            if diffusion_mod.resolve_backend(cfg) == "device":
                 from .parallel import mesh as mesh_mod
                 d_mesh = mesh_mod.make_view_mesh()
             graph = diffusion_mod.run_diffusion(graph, cfg, self.verbose,

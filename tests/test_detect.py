@@ -233,3 +233,37 @@ def test_carve_splits_noise_glued_blob():
     assert abs(dy) < 0.2, (dx, dy)
     assert 40 <= cx <= 75 and 58 <= cy <= 64, (cx, cy)
     assert (o[7] - o[6]) >= 20.0
+
+
+def test_nfa_log10_matches_full_sum_oracle():
+    """_nfa_log10 vs an exact full-summation oracle across the (n, k, p)
+    plane, INCLUDING the slow-decay regime k ~ n p where a truncated
+    series is biased (VERDICT r2 #7).  Tolerance: 1e-6 in log10."""
+    from scipy.special import gammaln
+
+    def oracle_log10_tail(n, k, p):
+        i = np.arange(k, n + 1, dtype=np.float64)
+        logterm = (gammaln(n + 1.0) - gammaln(i + 1.0) -
+                   gammaln(n - i + 1.0) + i * np.log(p) +
+                   (n - i) * np.log1p(-p))
+        m = logterm.max()
+        return (m + np.log(np.exp(logterm - m).sum())) / np.log(10.0)
+
+    log_nt = 7.25   # arbitrary but realistic -log10(NT) offset
+    for p in [0.125, 0.0625, 0.03125, 0.015625, 0.0078125, 0.00390625]:
+        for n in [8, 64, 512, 4096]:
+            np_mean = n * p
+            ks = sorted({1, 2,
+                         max(1, int(np_mean / 2)),
+                         max(1, int(np_mean) - 1), max(1, int(np_mean)),
+                         int(np_mean) + 1, int(np_mean) + 2,
+                         min(n, int(np_mean * 2) + 1),
+                         min(n, int(np_mean * 4) + 1),
+                         n // 2, n - 1, n})
+            ks = [k for k in ks if 1 <= k <= n]
+            got = vectorized_lsd._nfa_log10(
+                np.full(len(ks), n, float), np.array(ks, float), p, log_nt)
+            want = np.array([-oracle_log10_tail(n, k, p) - log_nt
+                             for k in ks])
+            np.testing.assert_allclose(got, want, atol=1e-6, rtol=0,
+                                       err_msg=f"p={p} n={n} ks={ks}")
