@@ -102,6 +102,36 @@ def _match_and_score_view(segs_src, mask_src, RtKinv_src, C_src,
     return cam, tgt, depths, valid, conf, total_overflow
 
 
+@functools.partial(jax.jit, static_argnames=("quota", "m_total",
+                                             "row_chunk", "k_export",
+                                             "support_t"))
+def _match_score_select_view(segs_src, mask_src, RtKinv_src, C_src,
+                             segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, P_nb,
+                             nb_mask, sigma_p, sigma_a, spatial_k, conf_t,
+                             quota: int, m_total: int, row_chunk: int,
+                             k_export: int, support_t: float = 0.5):
+    """_match_and_score_view + DEVICE-side selection (parallel/sharded.py
+    device_select): returns only the per-segment best fields, the packed
+    verified-match export, the on-device median depth, and overflow
+    counters.  The raw [S, M] tables never cross the device->host link —
+    at uncapped-exact capacities (M >= 1024) they are ~50 MB/view against
+    a ~20 MB/s tunnel readback path, which made the raw-table rematch
+    ~1.3 s/view of pure transfer (profiled; device compute is ~57 ms)."""
+    from ..parallel import sharded
+
+    cam, tgt, depths, valid, conf, overflow = \
+        _match_and_score_view.__wrapped__(
+            segs_src, mask_src, RtKinv_src, C_src,
+            segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, P_nb, nb_mask,
+            sigma_p, sigma_a, spatial_k,
+            quota=quota, m_total=m_total, row_chunk=row_chunk,
+            support_t=support_t)
+    out = sharded.device_select(cam, tgt, depths, valid, conf, conf_t,
+                                k_export, segs_nb.shape[0])
+    out["match_overflow"] = overflow
+    return out
+
+
 def _pad_neighbors(arrs, n_max):
     """Pad leading neighbor axis of each array to n_max."""
     out = []
@@ -323,31 +353,107 @@ def rematch_views_exact(scene: Scene, cameras: CameraSet, neighbors: list,
     n_max = max((len(n) for n in neighbors), default=0)
     ctx = _ViewContext(scene, cameras, config, n_max)
     S = scene.max_segments
-    out = {}
+
+    # phase 1: dispatch the cheap counting program for every view BEFORE
+    # any readback (remote executions overlap; a sync per view would
+    # serialize ~6 dispatch round-trips each on the tunnel)
+    counts, nb_arrays = {}, {}
     for v in views:
         nb = np.asarray(neighbors[v], np.int64)
         if len(nb) == 0:
             continue
+        nb_arrays[v] = (nb,) + ctx.neighbor_arrays(v, nb)
         (segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, _P_nb), nb_mask = \
-            ctx.neighbor_arrays(v, nb)
-        nv = np.asarray(_count_view_matches(
+            nb_arrays[v][1:]
+        counts[v] = _count_view_matches(
             ctx.segs_f32[v], ctx.mask[v], ctx.RtKinv32[v], ctx.C32[v],
-            segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, nb_mask))
+            segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, nb_mask)
+
+    # phase 2: dispatch every view's match+score+SELECT program at its
+    # pow2-bucketed exact capacity (few distinct executables), again all
+    # before any result readback.  Selection runs on device and only the
+    # compact outputs cross the link; k_export is bounded by the view's
+    # total gate-passing count (verified is a subset), so the export can
+    # never drop.
+    needs, lazy = {}, {}
+    for v, nv_dev in counts.items():
+        nv = np.asarray(nv_dev)
         need = int(nv.sum(axis=0).max())
+        total = int(nv.sum())
         # pow2 bucket -> few distinct executables; quota=128 disables the
         # per-block cap entirely (compact_rows_blockq clamps to the block)
         m_total = 1 << max(int(np.ceil(np.log2(max(need, 1)))), 0)
         m_total = min(m_total, n_max * S)
-        outs = _match_one_view(ctx, v, nb, quota=128, m_total=m_total)
-        if outs[5] != 0:
+        k_export = 1 << max(int(np.ceil(np.log2(max(total, 1)))), 8)
+        k_export = min(k_export, S * m_total)
+        needs[v] = (need, m_total)
+        nb = nb_arrays[v][0]
+        (segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, P_nb), nb_mask = \
+            nb_arrays[v][1:]
+        lazy[v] = _match_score_select_view(
+            ctx.segs_f32[v], ctx.mask[v], ctx.RtKinv32[v], ctx.C32[v],
+            segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, P_nb, nb_mask,
+            np.float32(ctx.config.sigma_p), np.float32(ctx.config.sigma_a),
+            np.float32(ctx.spatial_ks[v]),
+            np.float32(ctx.config.confidence_threshold),
+            quota=128, m_total=m_total, row_chunk=min(128, S),
+            k_export=k_export,
+            support_t=float(ctx.config.support_threshold))
+        for arr in jax.tree_util.tree_leaves(lazy[v]):
+            if hasattr(arr, "copy_to_host_async"):
+                arr.copy_to_host_async()
+
+    # phase 3: materialize the compact outputs + host assembly in view order
+    out = {}
+    for v, o in lazy.items():
+        need, m_total = needs[v]
+        overflow = int(o["match_overflow"]) + int(o["export_drop"])
+        if overflow != 0:
             raise AssertionError(
                 f"uncapped rematch of view {v} still overflowed "
-                f"({outs[5]}) at capacity {m_total} (needed {need})")
+                f"({overflow}) at capacity {m_total} (needed {need})")
         if verbose:
             print(f"[L3D] view {v}: re-matched uncapped "
-                  f"(capacity {need} -> m_total {m_total})")
-        out[v] = _select_view_outputs(ctx, v, nb, *outs, verbose=verbose)
+                  f"(capacity {need} -> m_total {m_total}, "
+                  f"{int(o['n_verified'])} verified)")
+        out[v] = _assemble_view_outputs(ctx, v, nb_arrays[v][0], o,
+                                        verbose=verbose)
     return out
+
+
+def _assemble_view_outputs(ctx: _ViewContext, v: int, nb: np.ndarray, o,
+                           verbose: bool = False):
+    """Rebuild (ViewMatches, best_row | None, median_depth) from the
+    device-selected compact outputs (the per-view twin of
+    finalize_matching_sharded's per-view block; identities only — nothing
+    downstream consumes per-match depths/confidence)."""
+    from ..parallel import sharded
+
+    S = ctx.scene.max_segments
+    median_depth = float(o["median_depth"]) if bool(o["median_has"]) else 1.0
+
+    packed = np.asarray(o["exp_packed"])
+    packed = packed[packed >= 0]
+    src, camslot, tgt = sharded.unpack_export(packed, S, len(nb))
+    vm = ViewMatches(
+        view=v,
+        src_seg=src,
+        tgt_view=nb[camslot].astype(np.int32),
+        tgt_seg=tgt,
+        overflow=0)
+
+    best_row = None
+    bs = np.nonzero(np.asarray(o["best_has"]))[0]
+    if len(bs):
+        best_conf = np.asarray(o["best_conf"])
+        best_d = np.asarray(o["best_depths"])
+        bconf = np.minimum(best_conf[bs] / ctx.config.confidence_norm, 1.0)
+        best_row = _best_rows_f64(
+            ctx.scene, ctx.cameras, v, bs,
+            best_d[bs, 0], best_d[bs, 1], bconf,
+            nb[np.asarray(o["best_cam"])[bs]],
+            np.asarray(o["best_tgt"])[bs])
+    return vm, best_row, median_depth
 
 
 def apply_uncapped_fallback(matches, best, median_depths,

@@ -187,6 +187,147 @@ def _kernel(params_ref, pm_row_ref, btab_ref, atab_ref, out_ref, *,
     out_ref[0, 0:1, :] = jnp.where(valid_row > 0.5, total, f32(0))
 
 
+def _kernel_tiled(need_ref, params_ref, pm_m_ref, pm_m2_ref, btab_ref,
+                  atab_ref, out_ref, acc_ref, *, num_cams, m_slots, m_tile,
+                  m2_tile):
+    """Adaptively tiled variant of _kernel for M > 256 (the uncapped-exact
+    capacities, rematch_views_exact): ~20 [M, M] f32 planes exceed the
+    ~16 MB VMEM at M >= 512, so BOTH match axes are tiled — grid
+    (S, M/m_tile, M/m2_tile) — and the per-camera maxima accumulate in a
+    [num_cams, m_tile] VMEM scratch across the (sequential) m2 tiles of one
+    (source segment, m tile).
+
+    The merge packs every row's valid slots first (merge_neighbor_tables
+    sorts valid keys ahead of the +inf pads), so a row with n valid matches
+    only has live work in its first ceil(n/tile) tiles on EITHER axis:
+    tiles beyond need_ref[s] are predicated out entirely, making the cost
+    Sum_s ceil(n_s)^2 — the reference's own O(R^2) per-segment verify cost
+    (cudawrapper.cu:656-706) — instead of S * M^2 at the padded capacity.
+    Semantics identical to _kernel (equivalence-tested in
+    tests/test_pallas.py); the production M=256 path keeps the untiled
+    kernel, whose scheduling is profiled at VPU roofline."""
+    M = m_slots
+    TM = m_tile
+    T = m2_tile
+    f32 = jnp.float32
+    s = pl.program_id(0)
+    tm = pl.program_id(1)
+    t = pl.program_id(2)
+    num_tiles = M // T
+    need = need_ref[s, 0]   # whole [S, 1] array lives in SMEM
+    live = (tm * TM < need) & (t * T < need)
+    inv_sig_p2 = params_ref[0, 0]
+    inv_sig_a2 = params_ref[0, 1]
+    spatial_k = params_ref[0, 2]
+    support_threshold = params_ref[0, 3]
+
+    @pl.when(t == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros((num_cams, TM), f32)
+
+    def row(k):                       # [1, TM] — m (scored match) axis
+        return pm_m_ref[0, k:k + 1, :]
+
+    @pl.when(live)
+    def _compute():
+        pm_colT = jnp.transpose(pm_m2_ref[0], (1, 0))   # [T, 16]
+
+        def col(k):                   # [T, 1] — m2 (supporting match) axis
+            return pm_colT[:, k:k + 1]
+
+        cam_col, valid_col = col(_CAM), col(_VALID)
+        valid_row = row(_VALID)
+
+        d1_row, d2_row = row(_D1), row(_D2)
+        zero = jnp.zeros((T, TM), f32)
+        G = [zero] * _PJ
+        for n in range(num_cams):
+            a = lambda r: atab_ref[0, n * 3 + r]              # noqa: E731
+            b = lambda k: btab_ref[0, 0, n * 6 + k]           # noqa: E731
+
+            def project(d_row, boff):
+                qx = a(0) + d_row * b(boff + 0)
+                qy = a(1) + d_row * b(boff + 1)
+                qz = a(2) + d_row * b(boff + 2)
+                ok = jnp.abs(qz) > EPS
+                zs = jnp.where(ok, qz, f32(1.0))
+                return qx / zs, qy / zs, ok
+
+            px1, py1, ok1 = project(d1_row, 0)
+            px2, py2, ok2 = project(d2_row, 3)
+            pok = ok1 & ok2
+            plx = py1 - py2
+            ply = px2 - px1
+            plz = px1 * py2 - py1 * px2
+            ipld = f32(1.0) / jnp.maximum(
+                jnp.sqrt(plx * plx + ply * ply), EPS)
+            rows = (px1, py1, px2, py2,
+                    jnp.where(pok, plx * ipld, f32(0)),
+                    jnp.where(pok, ply * ipld, f32(0)),
+                    jnp.where(pok, plz * ipld, f32(1e9)))
+            sel = cam_col == f32(n)                       # [T, 1]
+            for q in range(_PJ):
+                G[q] = jnp.where(sel, rows[q], G[q])
+
+        da1 = jnp.abs(col(_TLX) * G[_PX1] + col(_TLY) * G[_PY1]
+                      + col(_TLZ)) * col(_ITDEN)
+        da2 = jnp.abs(col(_TLX) * G[_PX2] + col(_TLY) * G[_PY2]
+                      + col(_TLZ)) * col(_ITDEN)
+        db1 = jnp.abs(G[_PLX] * col(_Q1X) + G[_PLY] * col(_Q1Y) + G[_PLZ])
+        db2 = jnp.abs(G[_PLX] * col(_Q2X) + G[_PLY] * col(_Q2Y) + G[_PLZ])
+        dist = jnp.maximum(jnp.maximum(da1, da2), jnp.maximum(db1, db2))
+        conf_pos = jnp.exp(-dist * dist * inv_sig_p2)
+
+        dots = (col(_DIRX) * row(_DIRX) + col(_DIRY) * row(_DIRY)
+                + col(_DIRZ) * row(_DIRZ))
+        xa = jnp.clip(jnp.abs(dots), 0.0, 1.0)
+        poly = f32(-0.0012624911)
+        for c in (0.0066700901, -0.0170881256, 0.0308918810, -0.0501743046,
+                  0.0889789874, -0.2145988016, 1.5707963050):
+            poly = poly * xa + f32(c)
+        ang = jnp.degrees(jnp.sqrt(jnp.maximum(1.0 - xa, f32(0))) * poly)
+        conf_ang = jnp.exp(-ang * ang * inv_sig_a2)
+
+        dd1 = jnp.abs(row(_D1) - col(_D1))
+        dd2 = jnp.abs(row(_D2) - col(_D2))
+        gate = (dd1 <= spatial_k * row(_D1)) & \
+               (dd2 <= spatial_k * row(_D2))
+
+        iota_m2 = jax.lax.broadcasted_iota(jnp.int32, (T, TM), 0) + t * T
+        iota_m = jax.lax.broadcasted_iota(jnp.int32, (T, TM), 1) + tm * TM
+        pair_ok = ((row(_VALID) > 0.5) & (valid_col > 0.5) & gate
+                   & (iota_m2 != iota_m))
+
+        conf = jnp.minimum(conf_pos, conf_ang)
+        conf = jnp.where(pair_ok & (conf > support_threshold), conf, f32(0))
+
+        for n in range(num_cams):
+            cmax = jnp.max(jnp.where(cam_col == f32(n), conf, f32(0)),
+                           axis=0, keepdims=True)
+            acc_ref[n:n + 1, :] = jnp.maximum(acc_ref[n:n + 1, :], cmax)
+
+    @pl.when(t == num_tiles - 1)
+    def _emit():
+        cam_row, valid_row = row(_CAM), row(_VALID)
+        total = jnp.zeros((1, TM), f32)
+        for n in range(num_cams):
+            total = total + jnp.where(cam_row == f32(n), f32(0),
+                                      acc_ref[n:n + 1, :])
+        out_ref[0, 0:1, :] = jnp.where(valid_row > 0.5, total, f32(0))
+
+
+def _m2_tile_for(M: int) -> int:
+    """Match-axis tile for M > 256 (both axes use it): the largest divisor
+    of M up to 256, keeping each [tile, tile] f32 plane at ~256 KB so the
+    ~15 live planes stay well within VMEM.  M <= 256 runs untiled."""
+    if M <= 256:
+        return M
+    for d in (256, 128, 64, 32, 16, 8):
+        if M % d == 0:
+            return d
+    return 8
+
+
 @functools.partial(jax.jit, static_argnames=("support_threshold",
                                              "interpret"))
 def score_matches_pallas(segs_src, mask_src, RtKinv_src, C_src,
@@ -199,7 +340,8 @@ def score_matches_pallas(segs_src, mask_src, RtKinv_src, C_src,
 
     M (the match-slot axis) must be a multiple of 128.  sigma_p / sigma_a /
     spatial_k are baked into the kernel as compile-time constants (they are
-    config values, constant across a run).
+    config values, constant across a run).  M > 256 dispatches the m2-tiled
+    kernel (grid (S, M/tile)) so uncapped-fallback capacities fit VMEM.
     """
     S, M = cam.shape
     N = P_nb.shape[0]
@@ -265,23 +407,60 @@ def score_matches_pallas(segs_src, mask_src, RtKinv_src, C_src,
         jnp.float32(support_threshold),
     ]).astype(f32).reshape(1, 4)
 
-    kernel = functools.partial(_kernel, num_cams=N, m_slots=M)
+    tile = _m2_tile_for(M)
+    if tile == M:
+        kernel = functools.partial(_kernel, num_cams=N, m_slots=M)
+        conf = pl.pallas_call(
+            kernel,
+            grid=(S,),
+            in_specs=[
+                pl.BlockSpec((1, 4), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, _PM, M), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, N * 6), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, N * 3), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 1, M), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((S, 1, M), f32),
+            interpret=interpret,
+        )(params, pm_row, btab, atab)
+        return conf[:, 0, :]
+
+    # adaptive skip bound per row: the merge packs valid slots first, so
+    # 1 + (last valid index) bounds the live tile range on both axes (for
+    # unpacked inputs this degrades to a conservative bound, never a wrong
+    # skip)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (S, M), 1)
+    need = jnp.max(jnp.where(valid, idx + 1, 0), axis=1,
+                   keepdims=True).astype(jnp.int32)       # [S, 1]
+
+    kernel = functools.partial(_kernel_tiled, num_cams=N, m_slots=M,
+                               m_tile=tile, m2_tile=tile)
     conf = pl.pallas_call(
         kernel,
-        grid=(S,),
+        grid=(S, M // tile, M // tile),
         in_specs=[
-            pl.BlockSpec((1, 4), lambda i: (0, 0),
+            pl.BlockSpec((S, 1), lambda i, tm, t: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4), lambda i, tm, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _PM, M), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, _PM, tile), lambda i, tm, t: (i, 0, tm),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, N * 6), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, _PM, tile), lambda i, tm, t: (i, 0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N * 3), lambda i: (0, 0),
+            pl.BlockSpec((1, 1, N * 6), lambda i, tm, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N * 3), lambda i, tm, t: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, M), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, tile), lambda i, tm, t: (i, 0, tm),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((S, 1, M), f32),
+        scratch_shapes=[pltpu.VMEM((N, tile), f32)],
         interpret=interpret,
-    )(params, pm_row, btab, atab)
+    )(need, params, pm_row, pm_row, btab, atab)
     return conf[:, 0, :]

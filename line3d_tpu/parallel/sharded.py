@@ -90,7 +90,28 @@ def _single_view_step(segments, seg_mask, args, quota, m_total, row_chunk,
         sigma_p, sigma_a, spatial_k, row_chunk=row_chunk,
         support_threshold=support_t)
 
-    # --- device-side selection -----------------------------------------
+    out = device_select(cam, tgt, depths, valid, conf, conf_t, k_export,
+                        nb_ids.shape[0])
+
+    # capacity diagnostics: per-block quota drops + matches dropped when a
+    # source segment's kept count exceeds the merge capacity m_total
+    # (mirrors the per-view engine, engine.py _match_and_score_view) +
+    # export-cap drops
+    n_kept = jnp.sum(res["valid"], axis=(0, 2))       # per src seg
+    merge_drop = jnp.sum(jnp.maximum(n_kept - cam.shape[1], 0))
+    out["overflow"] = (res["overflow"].sum() + merge_drop
+                       + out.pop("export_drop"))
+    return out
+
+
+def device_select(cam, tgt, depths, valid, conf, conf_t, k_export,
+                  n_slots):
+    """Device-side selection over one view's scored match table: best match
+    per segment, on-device median depth, and a fixed-capacity packed export
+    of the verified matches (the per-view twin of the host selection in
+    engine._select_view_outputs; shared by the sharded engine and the
+    uncapped-exact rematch so the parity-critical selection has exactly one
+    device formulation)."""
     keep = valid & (conf > conf_t)
     conf_keyed = jnp.where(keep, conf, -jnp.inf)
     best_m = jnp.argmax(conf_keyed, axis=1)
@@ -120,7 +141,6 @@ def _single_view_step(segments, seg_mask, args, quota, m_total, row_chunk,
     # affinity construction, line3D.cc:861-865 fills the correspondence
     # lists from match identities; recomputables never cross the link)
     S_, M_ = keep.shape
-    n_slots = nb_ids.shape[0]
     sbits, cbits = export_bits(S_, n_slots)
     flat_keep = keep.reshape(S_ * M_)
     k_export = min(k_export, S_ * M_)
@@ -132,12 +152,6 @@ def _single_view_step(segments, seg_mask, args, quota, m_total, row_chunk,
     packed = ((exp_src << (cbits + sbits)) | (exp_cam << sbits) | exp_tgt)
     n_verified = jnp.sum(flat_keep)
 
-    # capacity diagnostics: per-block quota drops + matches dropped when a
-    # source segment's kept count exceeds the merge capacity m_total
-    # (mirrors the per-view engine, engine.py _match_and_score_view) +
-    # export-cap drops
-    n_kept = jnp.sum(res["valid"], axis=(0, 2))       # per src seg
-    merge_drop = jnp.sum(jnp.maximum(n_kept - cam.shape[1], 0))
     return dict(best_conf=best_conf, best_cam=best_cam,
                 best_tgt=best_tgt, best_has=best_has,
                 best_depths=best_d[:, :2],
@@ -145,8 +159,7 @@ def _single_view_step(segments, seg_mask, args, quota, m_total, row_chunk,
                 median_has=nh > 0,
                 exp_packed=jnp.where(exp_valid, packed, -1),
                 n_verified=n_verified,
-                overflow=res["overflow"].sum() + merge_drop +
-                jnp.maximum(jnp.sum(flat_keep) - k_export, 0))
+                export_drop=jnp.maximum(n_verified - k_export, 0))
 
 
 def _pack_view_outputs(o, k_export):

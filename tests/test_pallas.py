@@ -119,6 +119,45 @@ def test_pallas_scoring_matches_xla_interpret():
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-4)
 
 
+def test_pallas_scoring_tiled_matches_xla_interpret():
+    """The adaptively tiled scoring kernel (M > 256, the uncapped-exact
+    capacities that exceed VMEM untiled) reproduces scoring.score_matches.
+    M=512 dispatches grid (S, 2, 2) with 256-wide tiles on both match axes
+    (scoring_pallas._m2_tile_for); tiles are always >= 128 (the Mosaic
+    lane-dim block constraint) since M must be a multiple of 128."""
+    from line3d_tpu.match import scoring, scoring_pallas
+    assert scoring_pallas._m2_tile_for(512) == 256
+    assert scoring_pallas._m2_tile_for(1024) == 256
+    assert scoring_pallas._m2_tile_for(2048) == 256
+    assert scoring_pallas._m2_tile_for(640) == 128
+    assert scoring_pallas._m2_tile_for(256) == 256
+
+    S, M, N, St = 32, 512, 4, 600
+    rng = np.random.default_rng(9)
+    f32 = lambda x: jnp.asarray(np.asarray(x, np.float32))
+    segs_src = f32(rng.uniform(0, 300, (S, 4)))
+    mask_src = jnp.ones(S, bool)
+    RtKinv = f32(np.eye(3))
+    C = f32(rng.normal(size=3))
+    cam = jnp.asarray(rng.integers(-1, N, (S, M)).astype(np.int32))
+    tgt = jnp.asarray(rng.integers(0, St, (S, M)).astype(np.int32))
+    depths = f32(rng.uniform(0.5, 3.0, (S, M, 4)))
+    valid = jnp.asarray((rng.uniform(size=(S, M)) < 0.4)
+                        & (np.asarray(cam) >= 0))
+    P_nb = f32(rng.normal(size=(N, 3, 4)))
+    segs_nb = f32(rng.uniform(0, 300, (N, St, 4)))
+    sp, sa, sk = jnp.float32(200.0), jnp.float32(90.0), jnp.float32(3.0)
+    ref = scoring.score_matches(segs_src, mask_src, RtKinv, C, cam, tgt,
+                                depths, valid, P_nb, segs_nb, sp, sa, sk,
+                                row_chunk=32)
+    got = scoring_pallas.score_matches_pallas(
+        segs_src, mask_src, RtKinv, C, cam, tgt, depths, valid, P_nb,
+        segs_nb, sp, sa, sk, interpret=True)
+    ref, got = np.asarray(ref), np.asarray(got)
+    assert (ref > 0).sum() > 50
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-4)
+
+
 def test_pallas_block_pick_odd_multiple_of_128():
     """Padded segment axes that are NOT multiples of the 256-row default
     block (e.g. S=384 under pad_multiple=128) must shrink the block via
