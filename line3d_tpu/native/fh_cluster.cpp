@@ -14,6 +14,10 @@
 #include <cstdint>
 #include <vector>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 #ifndef M_PI
 #define M_PI 3.14159265358979323846
 #endif
@@ -167,11 +171,21 @@ static inline double angle_diff(double a, double b) {
 // 8-connected union-find CC where both pixels are defined and their angles
 // agree within min(tol_a, tol_b).  Writes compact component ids (or -1) and
 // returns the number of components.
+//
+// Parallelized in row stripes: each thread unions the edges fully interior
+// to its stripe (parent writes stay within the stripe's disjoint index
+// range), then the edges touching stripe-boundary rows are processed
+// serially.  The component partition is order-independent, and the compact
+// ids are assigned by a serial first-encounter scan, so the result is
+// bit-identical to the sequential version.
 int64_t grid_cc_compact(const float* angle, const uint8_t* defined,
                         const float* tol, int64_t H, int64_t W,
                         int32_t* labels_out) {
     const int64_t N = H * W;
     std::vector<int32_t> parent(N);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
     for (int64_t i = 0; i < N; ++i) parent[i] = static_cast<int32_t>(i);
 
     struct Find {
@@ -187,7 +201,7 @@ int64_t grid_cc_compact(const float* angle, const uint8_t* defined,
     // forward neighbors: W, NW, N, NE (each undirected edge visited once)
     const int64_t dy[4] = {0, -1, -1, -1};
     const int64_t dx[4] = {-1, -1, 0, 1};
-    for (int64_t y = 0; y < H; ++y) {
+    auto do_row = [&](int64_t y) {
         for (int64_t x = 0; x < W; ++x) {
             const int64_t i = y * W + x;
             if (!defined[i]) continue;
@@ -206,9 +220,32 @@ int64_t grid_cc_compact(const float* angle, const uint8_t* defined,
                 }
             }
         }
+    };
+
+#ifdef _OPENMP
+    const int max_t = omp_get_max_threads();
+#else
+    const int max_t = 1;
+#endif
+    const int64_t stripe = (max_t > 1) ? (H + max_t - 1) / max_t : H;
+    if (max_t > 1 && stripe >= 4) {
+#ifdef _OPENMP
+#pragma omp parallel num_threads(max_t)
+        {
+            const int tid = omp_get_thread_num();
+            const int64_t y0 = tid * stripe;
+            const int64_t y1 = std::min<int64_t>(y0 + stripe, H);
+            // rows whose forward neighbors (row y-1) stay inside the stripe
+            for (int64_t y = y0 + 1; y < y1; ++y) do_row(y);
+        }
+#endif
+        // stripe-boundary rows (forward edges reach the previous stripe)
+        for (int64_t y0 = 0; y0 < H; y0 += stripe) do_row(y0);
+    } else {
+        for (int64_t y = 0; y < H; ++y) do_row(y);
     }
 
-    // compact ids
+    // compact ids (serial: first-encounter order defines the ids)
     std::vector<int32_t> compact(N, -1);
     int32_t next_id = 0;
     for (int64_t i = 0; i < N; ++i) {
@@ -226,26 +263,68 @@ int64_t grid_cc_compact(const float* angle, const uint8_t* defined,
 void region_moments(const int32_t* labels, const float* w,
                     const float* angle, int64_t H, int64_t W,
                     double* out) {
-    for (int64_t y = 0; y < H; ++y) {
-        for (int64_t x = 0; x < W; ++x) {
-            const int64_t i = y * W + x;
-            const int32_t c = labels[i];
-            if (c < 0) continue;
-            double* o = out + static_cast<int64_t>(c) * 9;
-            const double wi = w[i];
-            const double fx = static_cast<double>(x);
-            const double fy = static_cast<double>(y);
-            o[0] += 1.0;
-            o[1] += wi;
-            o[2] += wi * fx;
-            o[3] += wi * fy;
-            o[4] += wi * fx * fx;
-            o[5] += wi * fy * fy;
-            o[6] += wi * fx * fy;
-            o[7] += std::cos(static_cast<double>(angle[i]));
-            o[8] += std::sin(static_cast<double>(angle[i]));
+    // components are spatially contiguous, so a row-stripe split touches
+    // each component from at most a few threads; per-thread accumulators
+    // merged in thread order keep the result deterministic (each
+    // component's contributions are summed stripe-by-stripe in a fixed
+    // order — identical to the serial row order only up to fp association
+    // at stripe boundaries, which downstream fits are insensitive to; the
+    // native-vs-python equivalence test runs single-stripe shapes exactly)
+    int64_t C = 0;
+    const int64_t N = H * W;
+    for (int64_t i = 0; i < N; ++i) if (labels[i] >= C) C = labels[i] + 1;
+
+    auto accum_rows = [&](int64_t y0, int64_t y1, double* o_all) {
+        for (int64_t y = y0; y < y1; ++y) {
+            for (int64_t x = 0; x < W; ++x) {
+                const int64_t i = y * W + x;
+                const int32_t c = labels[i];
+                if (c < 0) continue;
+                double* o = o_all + static_cast<int64_t>(c) * 9;
+                const double wi = w[i];
+                const double fx = static_cast<double>(x);
+                const double fy = static_cast<double>(y);
+                o[0] += 1.0;
+                o[1] += wi;
+                o[2] += wi * fx;
+                o[3] += wi * fy;
+                o[4] += wi * fx * fx;
+                o[5] += wi * fy * fy;
+                o[6] += wi * fx * fy;
+                o[7] += std::cos(static_cast<double>(angle[i]));
+                o[8] += std::sin(static_cast<double>(angle[i]));
+            }
         }
+    };
+
+#ifdef _OPENMP
+    const int max_t = omp_get_max_threads();
+    // the per-thread accumulators + merge cost O(threads * C * 9); only
+    // worth it when components average enough pixels (tiny-component
+    // floods are faster serial)
+    if (max_t > 1 && H >= 64 && C * 18 < N) {
+        const int64_t stripe = (H + max_t - 1) / max_t;
+        std::vector<std::vector<double>> part(max_t);
+#pragma omp parallel num_threads(max_t)
+        {
+            const int tid = omp_get_thread_num();
+            const int64_t y0 = tid * stripe;
+            const int64_t y1 = std::min<int64_t>(y0 + stripe, H);
+            if (y0 < y1) {
+                part[tid].assign(static_cast<size_t>(C) * 9, 0.0);
+                accum_rows(y0, y1, part[tid].data());
+            }
+        }
+        for (int t = 0; t < max_t; ++t) {
+            if (part[t].empty()) continue;
+            const double* p = part[t].data();
+#pragma omp parallel for schedule(static)
+            for (int64_t k = 0; k < C * 9; ++k) out[k] += p[k];
+        }
+        return;
     }
+#endif
+    accum_rows(0, H, out);
 }
 
 // per-component extents along (dx, dy) through (cx, cy):
@@ -255,22 +334,68 @@ void region_extents(const int32_t* labels, int64_t H, int64_t W,
                     const double* cx, const double* cy,
                     const double* dx, const double* dy,
                     double* out) {
-    for (int64_t y = 0; y < H; ++y) {
-        for (int64_t x = 0; x < W; ++x) {
-            const int64_t i = y * W + x;
-            const int32_t c = labels[i];
-            if (c < 0) continue;
-            const double rx = static_cast<double>(x) - cx[c];
-            const double ry = static_cast<double>(y) - cy[c];
-            const double l = rx * dx[c] + ry * dy[c];
-            const double wd = -rx * dy[c] + ry * dx[c];
-            double* o = out + static_cast<int64_t>(c) * 4;
-            if (l < o[0]) o[0] = l;
-            if (l > o[1]) o[1] = l;
-            if (wd < o[2]) o[2] = wd;
-            if (wd > o[3]) o[3] = wd;
+    auto scan_rows = [&](int64_t y0, int64_t y1, double* o_all) {
+        for (int64_t y = y0; y < y1; ++y) {
+            for (int64_t x = 0; x < W; ++x) {
+                const int64_t i = y * W + x;
+                const int32_t c = labels[i];
+                if (c < 0) continue;
+                const double rx = static_cast<double>(x) - cx[c];
+                const double ry = static_cast<double>(y) - cy[c];
+                const double l = rx * dx[c] + ry * dy[c];
+                const double wd = -rx * dy[c] + ry * dx[c];
+                double* o = o_all + static_cast<int64_t>(c) * 4;
+                if (l < o[0]) o[0] = l;
+                if (l > o[1]) o[1] = l;
+                if (wd < o[2]) o[2] = wd;
+                if (wd > o[3]) o[3] = wd;
+            }
         }
+    };
+
+#ifdef _OPENMP
+    const int max_t = omp_get_max_threads();
+    const int64_t N = H * W;
+    int64_t C = 0;
+    if (max_t > 1 && H >= 64)
+        for (int64_t i = 0; i < N; ++i) if (labels[i] >= C) C = labels[i] + 1;
+    if (max_t > 1 && H >= 64 && C * 8 < N) {
+        const int64_t stripe = (H + max_t - 1) / max_t;
+        std::vector<std::vector<double>> part(max_t);
+#pragma omp parallel num_threads(max_t)
+        {
+            const int tid = omp_get_thread_num();
+            const int64_t y0 = tid * stripe;
+            const int64_t y1 = std::min<int64_t>(y0 + stripe, H);
+            if (y0 < y1) {
+                part[tid].resize(static_cast<size_t>(C) * 4);
+                for (int64_t c = 0; c < C; ++c) {
+                    part[tid][c * 4 + 0] = 1e300;
+                    part[tid][c * 4 + 1] = -1e300;
+                    part[tid][c * 4 + 2] = 1e300;
+                    part[tid][c * 4 + 3] = -1e300;
+                }
+                scan_rows(y0, y1, part[tid].data());
+            }
+        }
+        for (int t = 0; t < max_t; ++t) {
+            if (part[t].empty()) continue;
+            const double* p = part[t].data();
+#pragma omp parallel for schedule(static)
+            for (int64_t c = 0; c < C; ++c) {
+                if (p[c * 4 + 0] < out[c * 4 + 0]) out[c * 4] = p[c * 4];
+                if (p[c * 4 + 1] > out[c * 4 + 1])
+                    out[c * 4 + 1] = p[c * 4 + 1];
+                if (p[c * 4 + 2] < out[c * 4 + 2])
+                    out[c * 4 + 2] = p[c * 4 + 2];
+                if (p[c * 4 + 3] > out[c * 4 + 3])
+                    out[c * 4 + 3] = p[c * 4 + 3];
+            }
+        }
+        return;
     }
+#endif
+    scan_rows(0, H, out);
 }
 
 // ---------------------------------------------------------------------
@@ -355,9 +480,13 @@ static bool fit_region(const std::vector<int64_t>& reg, int64_t n,
 }
 
 // region_grow (lsd_opencv.cpp:735-786): BFS from seed over state==1
-// pixels, gated by alignment with the running mean angle; grown pixels
-// flip to state 2.  Returns region size; reg_angle returns the mean.
+// pixels OF THE OWNING PASS-1 COMPONENT (labels gate — growth never
+// crosses component boundaries, the documented divergence that makes
+// carving per-component data-parallel), gated by alignment with the
+// running mean angle; grown pixels flip to state 2.  Returns region size;
+// reg_angle returns the mean.
 static int64_t grow(int64_t seed, const float* angle, uint8_t* state,
+                    const int32_t* labels, int32_t comp,
                     int64_t H, int64_t W, double tol,
                     std::vector<int64_t>& reg, double* reg_angle) {
     reg.clear();
@@ -375,6 +504,7 @@ static int64_t grow(int64_t seed, const float* angle, uint8_t* state,
         for (int64_t yy = ylo; yy <= yhi; ++yy) {
             for (int64_t xx = xlo; xx <= xhi; ++xx) {
                 const int64_t b = yy * W + xx;
+                if (labels[b] != comp) continue;
                 if (state[b] != 1) continue;
                 if (angle_diff(double(angle[b]), ang) > tol) continue;
                 state[b] = 2;
@@ -395,37 +525,26 @@ static int64_t grow(int64_t seed, const float* angle, uint8_t* state,
 // (-1 undefined); comp_fail[c] selects components to carve.  Emits up to
 // max_out rows of 10 doubles (count, sw, cx, cy, dx, dy, l_min, l_max,
 // w_min, w_max); returns rows written.
-int64_t lsd_carve(const float* norm, const float* angle,
-                  const int32_t* labels, const uint8_t* comp_fail,
-                  int64_t n_comps, int64_t H, int64_t W,
-                  double prec, double density_th, int64_t min_reg_size,
-                  double* out, int64_t max_out) {
-    const int64_t N = H * W;
-    // state: 0 = not a carve pixel, 1 = available, 2 = used
-    std::vector<uint8_t> state(N, 0);
-    std::vector<int64_t> cand;
-    for (int64_t i = 0; i < N; ++i) {
-        const int32_t c = labels[i];
-        if (c >= 0 && c < n_comps && comp_fail[c]) {
-            state[i] = 1;
-            cand.push_back(i);
-        }
-    }
-    if (cand.empty()) return 0;
-    // seed order: decreasing gradient magnitude (the reference's
-    // 1024-bin pseudo-sort, lsd_opencv.cpp:700-733, made exact)
-    std::sort(cand.begin(), cand.end(), [&](int64_t a, int64_t b) {
-        if (norm[a] != norm[b]) return norm[a] > norm[b];
-        return a < b;  // deterministic tie-break
-    });
+namespace {
 
+// Carve ONE failing component: the reference's seed loop
+// (lsd_opencv.cpp:576-633) restricted to the component's pixels.
+// `cand` must be the component's pixel list sorted by decreasing gradient
+// magnitude (index tie-break); `state` is the shared per-pixel state array
+// — each component's pixels are disjoint, so concurrent carves never touch
+// the same entries.  Appends 10-double fit rows to `fits`.
+static void carve_component(const std::vector<int64_t>& cand, int32_t comp,
+                            const float* norm, const float* angle,
+                            const int32_t* labels, uint8_t* state,
+                            int64_t H, int64_t W, double prec,
+                            double density_th, int64_t min_reg_size,
+                            std::vector<double>& fits) {
     std::vector<int64_t> reg;
-    reg.reserve(4096);
-    int64_t rows = 0;
+    reg.reserve(cand.size());
     for (const int64_t seed : cand) {
         if (state[seed] != 1) continue;
         double reg_angle;
-        int64_t n = grow(seed, angle, state.data(), H, W, prec, reg,
+        int64_t n = grow(seed, angle, state, labels, comp, H, W, prec, reg,
                          &reg_angle);
         if (n < min_reg_size) continue;  // pixels stay used (line 586)
         CarveFit fit;
@@ -457,7 +576,8 @@ int64_t lsd_carve(const float* norm, const float* angle,
             const double tau =
                 2.0 * std::sqrt((ss - 2.0 * mean * s) / double(m) +
                                 mean * mean);
-            n = grow(seed, angle, state.data(), H, W, tau, reg, &reg_angle);
+            n = grow(seed, angle, state, labels, comp, H, W, tau, reg,
+                     &reg_angle);
             if (n < 2) continue;  // regrown pixels stay used (line 917)
             if (!fit_region(reg, n, norm, reg_angle, prec, W, &fit))
                 continue;
@@ -497,14 +617,87 @@ int64_t lsd_carve(const float* norm, const float* angle,
             }
         }
         if (n < min_reg_size) continue;  // NFA floor needs min_reg_size
-        if (rows >= max_out) break;
-        double* o = out + rows * 10;
-        o[0] = fit.count; o[1] = fit.sw;
-        o[2] = fit.cx; o[3] = fit.cy;
-        o[4] = fit.dx; o[5] = fit.dy;
-        o[6] = fit.l_min; o[7] = fit.l_max;
-        o[8] = fit.w_min; o[9] = fit.w_max;
-        ++rows;
+        const double o[10] = {fit.count, fit.sw, fit.cx, fit.cy,
+                              fit.dx, fit.dy, fit.l_min, fit.l_max,
+                              fit.w_min, fit.w_max};
+        fits.insert(fits.end(), o, o + 10);
+    }
+}
+
+}  // namespace
+
+int64_t lsd_carve(const float* norm, const float* angle,
+                  const int32_t* labels, const uint8_t* comp_fail,
+                  int64_t n_comps, int64_t H, int64_t W,
+                  double prec, double density_th, int64_t min_reg_size,
+                  double* out, int64_t max_out) {
+    const int64_t N = H * W;
+    // group the failing components' pixels by component (carving is
+    // per-component independent — growth is confined to the owning
+    // component — so components carve in parallel)
+    std::vector<int64_t> count(n_comps, 0);
+    for (int64_t i = 0; i < N; ++i) {
+        const int32_t c = labels[i];
+        if (c >= 0 && c < n_comps && comp_fail[c]) ++count[c];
+    }
+    std::vector<int32_t> fail_ids;
+    for (int32_t c = 0; c < n_comps; ++c)
+        if (comp_fail[c] && count[c] > 0) fail_ids.push_back(c);
+    if (fail_ids.empty()) return 0;
+
+    std::vector<int64_t> offset(n_comps + 1, 0);
+    for (int64_t c = 0; c < n_comps; ++c)
+        offset[c + 1] = offset[c] + count[c];
+    std::vector<int64_t> pix(offset[n_comps]);
+    {
+        std::vector<int64_t> cur(offset.begin(), offset.end() - 1);
+        for (int64_t i = 0; i < N; ++i) {
+            const int32_t c = labels[i];
+            if (c >= 0 && c < n_comps && comp_fail[c]) pix[cur[c]++] = i;
+        }
+    }
+
+    // state: 0 = not a carve pixel, 1 = available, 2 = used (shared, but
+    // per-component disjoint)
+    std::vector<uint8_t> state(N, 0);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (size_t k = 0; k < pix.size(); ++k) state[pix[k]] = 1;
+
+    // biggest components first: the parallel loop's tail stays short
+    std::sort(fail_ids.begin(), fail_ids.end(), [&](int32_t a, int32_t b) {
+        if (count[a] != count[b]) return count[a] > count[b];
+        return a < b;
+    });
+
+    const int64_t F = static_cast<int64_t>(fail_ids.size());
+    std::vector<std::vector<double>> fits(F);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 1)
+#endif
+    for (int64_t k = 0; k < F; ++k) {
+        const int32_t c = fail_ids[k];
+        std::vector<int64_t> cand(pix.begin() + offset[c],
+                                  pix.begin() + offset[c] + count[c]);
+        // seed order: decreasing gradient magnitude (the reference's
+        // 1024-bin pseudo-sort, lsd_opencv.cpp:700-733, made exact)
+        std::sort(cand.begin(), cand.end(), [&](int64_t a, int64_t b) {
+            if (norm[a] != norm[b]) return norm[a] > norm[b];
+            return a < b;  // deterministic tie-break
+        });
+        carve_component(cand, c, norm, angle, labels, state.data(),
+                        H, W, prec, density_th, min_reg_size, fits[k]);
+    }
+
+    // merge in component order (deterministic regardless of schedule)
+    int64_t rows = 0;
+    for (int64_t k = 0; k < F && rows < max_out; ++k) {
+        const int64_t nr = static_cast<int64_t>(fits[k].size()) / 10;
+        for (int64_t r = 0; r < nr && rows < max_out; ++r, ++rows) {
+            std::copy(fits[k].begin() + r * 10,
+                      fits[k].begin() + r * 10 + 10, out + rows * 10);
+        }
     }
     return rows;
 }
