@@ -82,6 +82,11 @@ class L3DConfig:
     # equivalent; BASELINE.json north star) ---
     refine_lines: bool = False
     refine_iterations: int = 5
+    # "host" = float64 numpy Gauss-Newton (semantic reference);
+    # "device" = jit-batched float32 with exact JVP Jacobians
+    # (fit/refine.py, the 100k+-cluster scale path); "auto" picks "device"
+    # on a TPU backend, "host" otherwise (same rule as diffusion_backend)
+    refine_backend: str = "auto"
 
     # --- clustering (commons.h:64, line3D.cc:1245,1334) ---
     min_affinity: float = 0.25           # L3D_MIN_AFFINITY (direct edges)

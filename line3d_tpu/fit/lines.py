@@ -198,8 +198,12 @@ def _process_clusters_loop(graph, labels, best, transform, config,
             msegs.append(graph.node_seg[nodes])
         Pm, p1, p2, mask = refine_mod.build_cluster_member_data(
             mviews, msegs, scene_segments, P_cond)
-        P0r, dr, rms_b, rms_a = refine_mod.refine_lines(
-            np.stack(P0s), np.stack(ds), Pm, p1, p2, mask)
+        refine_fn = refine_mod.refine_lines
+        if refine_mod.resolve_backend(config) == "device":
+            refine_fn = refine_mod.refine_lines_device
+        P0r, dr, rms_b, rms_a = refine_fn(
+            np.stack(P0s), np.stack(ds), Pm, p1, p2, mask,
+            iterations=config.refine_iterations)
         if verbose:
             print(f"[L3D] refinement: median rms {np.median(rms_b):.3f} -> "
                   f"{np.median(rms_a):.3f} px over {len(kept)} lines")

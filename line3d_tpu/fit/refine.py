@@ -11,11 +11,21 @@ to the direction (2) + direction tangent updates (2); the line is
 (P0 + a u1 + b u2,  normalize(d + c u1 + e u2)) with (u1, u2) an
 orthonormal basis of d's normal plane.
 
-Runs in float64 numpy (host): clusters are few (thousands) and small
-(tens of members), and double precision matters for the normal equations.
-All clusters are refined simultaneously via [C, M]-padded arrays.
+Two equivalent backends (refine_lines / refine_lines_device, equivalence-
+tested in tests/test_refine.py):
+  * host: float64 numpy with a numeric Jacobian — the semantic reference;
+    double precision is comfortable for the normal equations.
+  * device: jit-batched jax float32 with EXACT forward-mode Jacobians
+    (jax.jvp; finite differences are unusable in f32 — (r(x+eps)-r(x))/eps
+    at pixel scale loses ~half the mantissa).  The per-cluster Gauss-Newton
+    is embarrassingly parallel, so at 100k+ clusters the [C, M] batch maps
+    onto the TPU VPU and the 4x4 normal solves are trivially batched; the
+    host stage was the serial bottleneck at the 1000-view scale
+    (README host_stage_scaling).
 """
 from __future__ import annotations
+
+import functools
 
 import numpy as np
 
@@ -120,6 +130,160 @@ def refine_lines(P0, d, Pm, p1, p2, mask, iterations: int = 5,
         d = np.where(better, d_new, d)
 
     return P0, d, rms_before, rms(P0, d)
+
+
+def _residuals_jnp(P0, d, Pm, p1, p2, mask):
+    """jax twin of _residuals (same math, f32 device arrays)."""
+    import jax.numpy as jnp
+    ones = jnp.ones((P0.shape[0], 1), P0.dtype)
+    Xa = jnp.concatenate([P0, ones], axis=1)
+    Xb = jnp.concatenate([P0 + d, ones], axis=1)
+    xa = jnp.einsum("cmij,cj->cmi", Pm, Xa)
+    xb = jnp.einsum("cmij,cj->cmi", Pm, Xb)
+    l = jnp.cross(xa, xb)
+    den = jnp.sqrt(l[..., 0] ** 2 + l[..., 1] ** 2)
+    ok = (jnp.abs(xa[..., 2]) > 1e-12) & (jnp.abs(xb[..., 2]) > 1e-12) & \
+         (den > 1e-12) & mask
+    den = jnp.maximum(den, 1e-12)
+    r1 = (l[..., 0] * p1[..., 0] + l[..., 1] * p1[..., 1] + l[..., 2]) / den
+    r2 = (l[..., 0] * p2[..., 0] + l[..., 1] * p2[..., 1] + l[..., 2]) / den
+    r = jnp.stack([r1, r2], axis=-1)
+    return jnp.where(ok[..., None], r, 0.0), ok
+
+
+def _refine_lines_jit(P0, d, Pm, p1, p2, mask, iterations: int,
+                      huber_delta: float, damping: float):
+    import jax
+    import jax.numpy as jnp
+
+    def orthobasis(dv):
+        ref = jnp.where(jnp.abs(dv[:, 0:1]) < 0.9,
+                        jnp.tile(jnp.asarray([1.0, 0, 0], dv.dtype),
+                                 (dv.shape[0], 1)),
+                        jnp.tile(jnp.asarray([0, 1.0, 0], dv.dtype),
+                                 (dv.shape[0], 1)))
+        u1 = jnp.cross(dv, ref)
+        u1 = u1 / jnp.linalg.norm(u1, axis=1, keepdims=True)
+        u2 = jnp.cross(dv, u1)
+        return u1, u2
+
+    C = P0.shape[0]
+    n_res = jnp.maximum(mask.sum(axis=1) * 2, 1).astype(P0.dtype)
+
+    def rms_of(P0_, d_):
+        r, _ = _residuals_jnp(P0_, d_, Pm, p1, p2, mask)
+        return jnp.sqrt((r ** 2).sum(axis=(1, 2)) / n_res)
+
+    rms_before = rms_of(P0, d)
+
+    def step(carry, _):
+        P0c, dc = carry
+        u1, u2 = orthobasis(dc)
+
+        def res_at(params):
+            a, b, c, e = (params[:, k] for k in range(4))
+            P0p = P0c + a[:, None] * u1 + b[:, None] * u2
+            dp = dc + c[:, None] * u1 + e[:, None] * u2
+            dp = dp / jnp.linalg.norm(dp, axis=1, keepdims=True)
+            return _residuals_jnp(P0p, dp, Pm, p1, p2, mask)[0]
+
+        zero = jnp.zeros((C, 4), P0.dtype)
+        r0, ok = _residuals_jnp(P0c, dc, Pm, p1, p2, mask)
+        # exact forward-mode Jacobian: 4 jvp passes over the tangent params
+        Jcols = []
+        for k in range(4):
+            tang = jnp.zeros((C, 4), P0.dtype).at[:, k].set(1.0)
+            _, jc = jax.jvp(res_at, (zero,), (tang,))
+            Jcols.append(jc)
+        J = jnp.stack(Jcols, axis=-1)                     # [C, M, 2, 4]
+
+        absr = jnp.abs(r0)
+        w = jnp.where(absr <= huber_delta, 1.0,
+                      jnp.sqrt(huber_delta / jnp.maximum(absr, 1e-12)))
+        w = jnp.where(ok[..., None], w, 0.0)
+
+        Jf = (J * w[..., None]).reshape(C, -1, 4)
+        rf = (r0 * w).reshape(C, -1)
+        H = jnp.einsum("cik,cil->ckl", Jf, Jf)
+        g = jnp.einsum("cik,ci->ck", Jf, rf)
+        tr = jnp.trace(H, axis1=1, axis2=2)
+        H = H + damping * jnp.eye(4, dtype=P0.dtype)[None] * \
+            jnp.maximum(tr, 1.0)[:, None, None]
+        stepv = jnp.linalg.solve(H, -g[..., None])[..., 0]
+        stepv = jnp.where(jnp.isfinite(stepv), stepv, 0.0)
+
+        P0n = P0c + stepv[:, 0:1] * u1 + stepv[:, 1:2] * u2
+        dn = dc + stepv[:, 2:3] * u1 + stepv[:, 3:4] * u2
+        dn = dn / jnp.linalg.norm(dn, axis=1, keepdims=True)
+
+        rms_old = jnp.sqrt((r0 ** 2).sum(axis=(1, 2)) / n_res)
+        better = (rms_of(P0n, dn) < rms_old)[:, None]
+        return (jnp.where(better, P0n, P0c), jnp.where(better, dn, dc)), None
+
+    (P0f, df) = (P0, d)
+    for _ in range(iterations):
+        (P0f, df), _ = step((P0f, df), None)
+    return P0f, df, rms_before, rms_of(P0f, df)
+
+
+def resolve_backend(config) -> str:
+    """Resolve config.refine_backend: "auto" becomes "device" on a TPU
+    backend and "host" otherwise (same rule as diffusion.resolve_backend:
+    CPU runs/tests keep the f64 reference path)."""
+    b = getattr(config, "refine_backend", "auto")
+    if b != "auto":
+        return b
+    import jax
+    try:
+        return "device" if jax.default_backend() in ("tpu", "axon") \
+            else "host"
+    except Exception:
+        return "host"
+
+
+def refine_lines_device(P0, d, Pm, p1, p2, mask, iterations: int = 5,
+                        huber_delta: float = 2.0, damping: float = 1e-6):
+    """Device-batched refine_lines (float32, exact JVP Jacobians).
+
+    Same signature/semantics as refine_lines; ~equal optima (both are
+    rms-gated Gauss-Newton on the same residuals — equivalence within
+    f32/f64 tolerance is pinned in tests/test_refine.py).  Pads the
+    cluster axis to a multiple of 256 so repeated calls reuse executables.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    C = len(P0)
+    Cp = max(256, ((C + 255) // 256) * 256)
+    padc = Cp - C
+
+    def pad(x, fill=0.0):
+        if padc == 0:
+            return x
+        cfg = [(0, padc)] + [(0, 0)] * (np.ndim(x) - 1)
+        return np.pad(x, cfg, constant_values=fill)
+
+    d_unit = np.asarray(d, np.float64)
+    d_unit = d_unit / np.linalg.norm(d_unit, axis=1, keepdims=True)
+    if padc:   # padded rows need a unit direction (orthobasis normalizes)
+        d_pad = np.concatenate([d_unit, np.tile([1.0, 0, 0], (padc, 1))])
+    else:
+        d_pad = d_unit
+    args = (pad(np.asarray(P0, np.float32)),
+            d_pad.astype(np.float32),
+            pad(np.asarray(Pm, np.float32)),
+            pad(np.asarray(p1, np.float32)),
+            pad(np.asarray(p2, np.float32)),
+            pad(np.asarray(mask, bool), fill=False))
+
+    fn = jax.jit(functools.partial(_refine_lines_jit,
+                                   iterations=int(iterations),
+                                   huber_delta=float(huber_delta),
+                                   damping=float(damping)))
+    P0f, df, rms_b, rms_a = fn(*args)
+    return (np.asarray(P0f[:C], np.float64), np.asarray(df[:C], np.float64),
+            np.asarray(rms_b[:C], np.float64),
+            np.asarray(rms_a[:C], np.float64))
 
 
 def build_cluster_member_data(member_views, member_segs, scene_segments,
