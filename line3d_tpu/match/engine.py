@@ -456,15 +456,100 @@ def _assemble_view_outputs(ctx: _ViewContext, v: int, nb: np.ndarray, o,
     return vm, best_row, median_depth
 
 
+def rematch_views_exact_sharded(scene: Scene, cameras: CameraSet,
+                                neighbors: list, config: L3DConfig,
+                                views, verbose: bool = False, mesh=None,
+                                verified_hint: int = 0,
+                                k_export_floor: int = 4096):
+    """Sharded/chunked variant of rematch_views_exact: ONE chunked device
+    program re-matches all overflowing views at their exact pow2-bucketed
+    capacity (quota disabled), with device-side selection and the packed
+    export — per-view dispatch/readback overhead (~1 s/view at production
+    shape, mostly transfer) collapses to the chunk pipeline's.
+
+    The packed export is sized from `verified_hint` (the capped run's
+    largest per-view verified count; the gate-passing total is a strict
+    bound but ~4x oversized, and every export slot crosses the ~20 MB/s
+    link for every padded view).  A view whose export still drops is
+    re-run through the per-view path at its strict bound, so exactness is
+    unconditional.
+
+    Returns {view: (ViewMatches, best_row | None, median_depth)}."""
+    n_max = max((len(n) for n in neighbors), default=0)
+    ctx = _ViewContext(scene, cameras, config, n_max)
+    S = scene.max_segments
+
+    # counting phase (dispatch-all-then-read, like rematch_views_exact)
+    counts = {}
+    for v in views:
+        nb = np.asarray(neighbors[v], np.int64)
+        if len(nb) == 0:
+            continue
+        (segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, _P_nb), nb_mask = \
+            ctx.neighbor_arrays(v, nb)
+        counts[v] = _count_view_matches(
+            ctx.segs_f32[v], ctx.mask[v], ctx.RtKinv32[v], ctx.C32[v],
+            segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, nb_mask)
+    if not counts:
+        return {}
+    nvs = {v: np.asarray(c) for v, c in counts.items()}
+    need = max(int(nv.sum(axis=0).max()) for nv in nvs.values())
+    total = max(int(nv.sum()) for nv in nvs.values())
+    m_total = 1 << max(int(np.ceil(np.log2(max(need, 1)))), 0)
+    m_total = min(m_total, n_max * S)
+    k_guess = max(4 * verified_hint, k_export_floor) if verified_hint \
+        else total
+    k_export = 1 << max(int(np.ceil(np.log2(max(min(k_guess, total), 1)))),
+                        6)
+
+    bufs, mctx = dispatch_matching_sharded(
+        scene, cameras, neighbors, config, mesh=mesh,
+        m_total_override=m_total, quota_override=128,
+        k_export_override=k_export, active_views=list(counts))
+    matches, best_sub, med = finalize_matching_sharded(
+        bufs, mctx, scene, cameras, config, verbose=verbose,
+        only_views=list(counts))
+
+    out = {}
+    best_by_view = {}
+    for v in np.unique(best_sub.view):
+        m = best_sub.view == v
+        best_by_view[int(v)] = dict(
+            view=best_sub.view[m], seg=best_sub.seg[m],
+            tgt_view=best_sub.tgt_view[m], tgt_seg=best_sub.tgt_seg[m],
+            score=best_sub.score[m], P1=best_sub.P1[m], P2=best_sub.P2[m],
+            dir=best_sub.dir[m], d1=best_sub.d1[m], d2=best_sub.d2[m])
+    retry = []
+    for vm in matches:
+        if vm.overflow != 0:
+            # export undersized for this view (match capacity is exact by
+            # construction) — strict-bound per-view re-run
+            retry.append(vm.view)
+            continue
+        out[vm.view] = (vm, best_by_view.get(vm.view), med[vm.view])
+        if verbose:
+            print(f"[L3D] view {vm.view}: re-matched uncapped (sharded, "
+                  f"capacity {need} -> m_total {m_total})")
+    if retry:
+        if verbose:
+            print(f"[L3D] uncapped rematch: export hint too small for "
+                  f"{len(retry)} view(s) {retry} — strict per-view re-run")
+        out.update(rematch_views_exact(scene, cameras, neighbors, config,
+                                       retry, verbose=verbose))
+    return out
+
+
 def apply_uncapped_fallback(matches, best, median_depths,
                             scene: Scene, cameras: CameraSet,
                             neighbors: list, config: L3DConfig,
-                            verbose: bool = False):
+                            verbose: bool = False, sharded: bool = False,
+                            mesh=None):
     """Reference-exactness guard over a finished matching pass.
 
     Views whose overflow counter is zero are provably identical to an
     uncapped run (the caps only drop matches).  For the rest, re-match at
-    exact capacity (rematch_views_exact) and splice the per-view results.
+    exact capacity (rematch_views_exact / the chunked sharded variant) and
+    splice the per-view results.
 
     Returns (matches, best, median_depths, num_rematched)."""
     over = [vm.view for vm in matches if vm.overflow > 0]
@@ -473,8 +558,14 @@ def apply_uncapped_fallback(matches, best, median_depths,
     if verbose:
         print(f"[L3D] uncapped fallback: re-matching {len(over)} "
               f"overflowing view(s) {over}")
-    repl = rematch_views_exact(scene, cameras, neighbors, config, over,
-                               verbose=verbose)
+    if sharded:
+        hint = max(len(vm.src_seg) for vm in matches)
+        repl = rematch_views_exact_sharded(scene, cameras, neighbors,
+                                           config, over, verbose=verbose,
+                                           mesh=mesh, verified_hint=hint)
+    else:
+        repl = rematch_views_exact(scene, cameras, neighbors, config, over,
+                                   verbose=verbose)
 
     matches = [repl[vm.view][0] if vm.view in repl else vm for vm in matches]
     median_depths = median_depths.copy()
@@ -504,7 +595,11 @@ def apply_uncapped_fallback(matches, best, median_depths,
 def dispatch_matching_sharded(scene: Scene, cameras: CameraSet,
                               neighbors: list, config: L3DConfig,
                               mesh=None, k_export_per_seg: int = 8,
-                              warm_only: bool = False):
+                              warm_only: bool = False,
+                              m_total_override: int | None = None,
+                              quota_override: int | None = None,
+                              k_export_override: int | None = None,
+                              active_views=None):
     """Launch the whole-scene matching WITHOUT blocking.
 
     Returns (bufs, ctx) where bufs is a list of lazy packed [Vc, D] device
@@ -560,6 +655,12 @@ def dispatch_matching_sharded(scene: Scene, cameras: CameraSet,
         num_pad_neighbors=n_pad)
     if warm_only:
         stacks["view_active"] = np.zeros_like(stacks["view_active"])
+    elif active_views is not None:
+        # subset re-run (the sharded uncapped rematch): only the listed
+        # views execute; the rest take the dead lax.cond branch (~0.1 ms)
+        act = np.zeros_like(stacks["view_active"])
+        act[np.asarray(list(active_views), np.int64)] = True
+        stacks["view_active"] = stacks["view_active"] & act
 
     axis = mesh.axis_names[0]
     # multi-host: the stacks/segments are host-replicated numpy; hand each
@@ -586,8 +687,11 @@ def dispatch_matching_sharded(scene: Scene, cameras: CameraSet,
         segments = jax.device_put(segments, repl)
         seg_mask = jax.device_put(seg_mask, repl)
 
-    m_total = min(config.max_matches_per_segment, n_max * S)
-    k_export = min(S * k_export_per_seg, S * m_total)
+    m_total = m_total_override or \
+        min(config.max_matches_per_segment, n_max * S)
+    m_total = min(m_total, n_max * S)
+    k_export = k_export_override or S * k_export_per_seg
+    k_export = min(k_export, S * m_total)
     # trailing all-padding chunks (pow2 bucketing can add several) are
     # skipped on the host — finalize only reads rows of views with
     # neighbors, all of which precede last_active.  Chunk 0 is always
@@ -607,7 +711,7 @@ def dispatch_matching_sharded(scene: Scene, cameras: CameraSet,
             segments, seg_mask, stacks_c,
             np.float32(config.sigma_p), np.float32(config.sigma_a),
             np.float32(config.confidence_threshold),
-            quota=config.match_block_quota,
+            quota=quota_override or config.match_block_quota,
             m_total=m_total,
             row_chunk=min(128, S),
             k_export=k_export,
@@ -664,9 +768,14 @@ def warmup_matching_sharded(num_views: int, max_segments: int,
 
 
 def finalize_matching_sharded(bufs, ctx, scene: Scene, cameras: CameraSet,
-                              config: L3DConfig, verbose: bool = False):
+                              config: L3DConfig, verbose: bool = False,
+                              only_views=None):
     """Read back dispatch_matching_sharded chunk buffers and rebuild the
-    ViewMatches / BestMatches structures (blocks on the device)."""
+    ViewMatches / BestMatches structures (blocks on the device).
+
+    `only_views` restricts decoding to a view subset (the sharded uncapped
+    rematch — rows of inactive views are dead-branch zeros and must not be
+    decoded)."""
     from ..parallel import sharded
 
     V = scene.num_views
@@ -682,7 +791,8 @@ def finalize_matching_sharded(bufs, ctx, scene: Scene, cameras: CameraSet,
     all_matches = []
     best_rows = []
     median_depths = np.ones(V)
-    for v in range(V):
+    views_iter = range(V) if only_views is None else sorted(only_views)
+    for v in views_iter:
         nb = np.asarray(neighbors[v], np.int64)
         if len(nb) == 0:
             continue

@@ -214,7 +214,7 @@ def _kernel_tiled(need_ref, params_ref, pm_m_ref, pm_m2_ref, btab_ref,
     tm = pl.program_id(1)
     t = pl.program_id(2)
     num_tiles = M // T
-    need = need_ref[s, 0]   # whole [S, 1] array lives in SMEM
+    need = need_ref[s]   # scalar-prefetch operand: whole [S] i32 in SMEM
     live = (tm * TM < need) & (t * T < need)
     inv_sig_p2 = params_ref[0, 0]
     inv_sig_a2 = params_ref[0, 1]
@@ -435,32 +435,37 @@ def score_matches_pallas(segs_src, mask_src, RtKinv_src, C_src,
     # unpacked inputs this degrades to a conservative bound, never a wrong
     # skip)
     idx = jax.lax.broadcasted_iota(jnp.int32, (S, M), 1)
-    need = jnp.max(jnp.where(valid, idx + 1, 0), axis=1,
-                   keepdims=True).astype(jnp.int32)       # [S, 1]
+    need = jnp.max(jnp.where(valid, idx + 1, 0), axis=1) \
+        .astype(jnp.int32)                                # [S]
 
     kernel = functools.partial(_kernel_tiled, num_cams=N, m_slots=M,
                                m_tile=tile, m2_tile=tile)
-    conf = pl.pallas_call(
-        kernel,
+    # need rides as a scalar-prefetch operand (a plain [S, 1] SMEM input
+    # window is padded to 512 B/row by Mosaic and blows the 1 MB SMEM at
+    # S >= 2048)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(S, M // tile, M // tile),
         in_specs=[
-            pl.BlockSpec((S, 1), lambda i, tm, t: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 4), lambda i, tm, t: (0, 0),
+            pl.BlockSpec((1, 4), lambda i, tm, t, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _PM, tile), lambda i, tm, t: (i, 0, tm),
+            pl.BlockSpec((1, _PM, tile), lambda i, tm, t, *_: (i, 0, tm),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _PM, tile), lambda i, tm, t: (i, 0, t),
+            pl.BlockSpec((1, _PM, tile), lambda i, tm, t, *_: (i, 0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, N * 6), lambda i, tm, t: (i, 0, 0),
+            pl.BlockSpec((1, 1, N * 6), lambda i, tm, t, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N * 3), lambda i, tm, t: (0, 0),
+            pl.BlockSpec((1, N * 3), lambda i, tm, t, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, tile), lambda i, tm, t: (i, 0, tm),
+        out_specs=pl.BlockSpec((1, 1, tile), lambda i, tm, t, *_: (i, 0, tm),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((S, 1, M), f32),
         scratch_shapes=[pltpu.VMEM((N, tile), f32)],
+    )
+    conf = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((S, 1, M), f32),
         interpret=interpret,
     )(need, params, pm_row, pm_row, btab, atab)
     return conf[:, 0, :]

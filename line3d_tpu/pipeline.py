@@ -430,7 +430,8 @@ class Line3D:
                 matches, best, med, n_rematched = \
                     engine.apply_uncapped_fallback(
                         matches, best, med, scene, cams, self.neighbors,
-                        cfg, verbose=self.verbose)
+                        cfg, verbose=self.verbose,
+                        sharded=self.use_sharded_engine)
             else:
                 print(f"[L3D] WARNING: match caps dropped "
                       f"{overflow_total} gate-passing matches across "

@@ -129,6 +129,41 @@ def test_dense_scene_saturates_and_fallback_restores_oracle():
     np.testing.assert_array_equal(med_fb, med_or)
 
 
+def test_sharded_rematch_matches_per_view_oracle():
+    """rematch_views_exact_sharded (the chunked-device fallback the
+    pipeline uses) must reproduce the per-view rematch oracle exactly —
+    matches, best rows, and medians — including when the deliberately tiny
+    export hint undersizes the packed export and triggers the strict
+    per-view retry for the dropped views."""
+    syn = _dense_syn()
+    cfg = dataclasses.replace(L3DConfig(), match_block_quota=1,
+                              max_matches_per_segment=8)
+    cams, neighbors = _setup(syn, cfg)
+    views = [v for v in range(syn.scene.num_views) if len(neighbors[v])]
+
+    oracle = engine.rematch_views_exact(syn.scene, cams, neighbors, cfg,
+                                        views)
+    got = engine.rematch_views_exact_sharded(syn.scene, cams, neighbors,
+                                             cfg, views, verified_hint=1,
+                                             k_export_floor=64)
+    assert set(got) == set(oracle)
+    for v in views:
+        vm_o, row_o, med_o = oracle[v]
+        vm_g, row_g, med_g = got[v]
+        assert _match_key(vm_o) == _match_key(vm_g)
+        assert med_o == med_g
+        if row_o is None:
+            assert row_g is None
+        else:
+            np.testing.assert_array_equal(row_o["seg"], row_g["seg"])
+            np.testing.assert_array_equal(row_o["tgt_view"],
+                                          row_g["tgt_view"])
+            np.testing.assert_array_equal(row_o["tgt_seg"],
+                                          row_g["tgt_seg"])
+            np.testing.assert_allclose(row_o["score"], row_g["score"],
+                                       rtol=1e-6)
+
+
 def test_pipeline_fallback_end_to_end_matches_uncapped():
     """Full pipeline: tiny caps + uncapped_fallback must produce the SAME
     final 3D lines as generous caps.  This is the test that fails when a
