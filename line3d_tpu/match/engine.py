@@ -44,6 +44,11 @@ class ViewMatches:
     depths: np.ndarray | None = None       # [K, 4] float32
     confidence: np.ndarray | None = None   # [K] float32 (already / 2)
     overflow: int = 0
+    # exact uncapped capacity diagnostics (filled by the sharded engine;
+    # they let the uncapped fallback size its re-run without a counting
+    # dispatch): max / sum over src segments of raw gate-passing counts
+    need_capacity: int = 0
+    total_candidates: int = 0
 
 
 @dataclasses.dataclass
@@ -460,7 +465,8 @@ def rematch_views_exact_sharded(scene: Scene, cameras: CameraSet,
                                 neighbors: list, config: L3DConfig,
                                 views, verbose: bool = False, mesh=None,
                                 verified_hint: int = 0,
-                                k_export_floor: int = 4096):
+                                k_export_floor: int = 4096,
+                                precounted: dict | None = None):
     """Sharded/chunked variant of rematch_views_exact: ONE chunked device
     program re-matches all overflowing views at their exact pow2-bucketed
     capacity (quota disabled), with device-side selection and the packed
@@ -476,25 +482,31 @@ def rematch_views_exact_sharded(scene: Scene, cameras: CameraSet,
 
     Returns {view: (ViewMatches, best_row | None, median_depth)}."""
     n_max = max((len(n) for n in neighbors), default=0)
-    ctx = _ViewContext(scene, cameras, config, n_max)
     S = scene.max_segments
 
-    # counting phase (dispatch-all-then-read, like rematch_views_exact)
-    counts = {}
-    for v in views:
-        nb = np.asarray(neighbors[v], np.int64)
-        if len(nb) == 0:
-            continue
-        (segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, _P_nb), nb_mask = \
-            ctx.neighbor_arrays(v, nb)
-        counts[v] = _count_view_matches(
-            ctx.segs_f32[v], ctx.mask[v], ctx.RtKinv32[v], ctx.C32[v],
-            segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, nb_mask)
-    if not counts:
+    views = [v for v in views if len(neighbors[v])]
+    if not views:
         return {}
-    nvs = {v: np.asarray(c) for v, c in counts.items()}
-    need = max(int(nv.sum(axis=0).max()) for nv in nvs.values())
-    total = max(int(nv.sum()) for nv in nvs.values())
+    if precounted is not None:
+        # capacities already measured by the mainline sharded program
+        # (raw gate-passing counts ride in its packed output) — no
+        # counting dispatches at all
+        need = max(precounted[v][0] for v in views)
+        total = max(precounted[v][1] for v in views)
+    else:
+        # counting phase (dispatch-all-then-read, like rematch_views_exact)
+        ctx = _ViewContext(scene, cameras, config, n_max)
+        counts = {}
+        for v in views:
+            nb = np.asarray(neighbors[v], np.int64)
+            (segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, _P_nb), nb_mask = \
+                ctx.neighbor_arrays(v, nb)
+            counts[v] = _count_view_matches(
+                ctx.segs_f32[v], ctx.mask[v], ctx.RtKinv32[v], ctx.C32[v],
+                segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, nb_mask)
+        nvs = {v: np.asarray(c) for v, c in counts.items()}
+        need = max(int(nv.sum(axis=0).max()) for nv in nvs.values())
+        total = max(int(nv.sum()) for nv in nvs.values())
     m_total = 1 << max(int(np.ceil(np.log2(max(need, 1)))), 0)
     m_total = min(m_total, n_max * S)
     k_guess = max(4 * verified_hint, k_export_floor) if verified_hint \
@@ -505,10 +517,10 @@ def rematch_views_exact_sharded(scene: Scene, cameras: CameraSet,
     bufs, mctx = dispatch_matching_sharded(
         scene, cameras, neighbors, config, mesh=mesh,
         m_total_override=m_total, quota_override=128,
-        k_export_override=k_export, active_views=list(counts))
+        k_export_override=k_export, active_views=views)
     matches, best_sub, med = finalize_matching_sharded(
         bufs, mctx, scene, cameras, config, verbose=verbose,
-        only_views=list(counts))
+        only_views=views)
 
     out = {}
     best_by_view = {}
@@ -560,9 +572,14 @@ def apply_uncapped_fallback(matches, best, median_depths,
               f"overflowing view(s) {over}")
     if sharded:
         hint = max(len(vm.src_seg) for vm in matches)
+        pre = {vm.view: (vm.need_capacity, vm.total_candidates)
+               for vm in matches if vm.overflow > 0}
+        if not all(n > 0 for n, _t in pre.values()):
+            pre = None   # capacities not measured (per-view engine rows)
         repl = rematch_views_exact_sharded(scene, cameras, neighbors,
                                            config, over, verbose=verbose,
-                                           mesh=mesh, verified_hint=hint)
+                                           mesh=mesh, verified_hint=hint,
+                                           precounted=pre)
     else:
         repl = rematch_views_exact(scene, cameras, neighbors, config, over,
                                    verbose=verbose)
@@ -810,7 +827,9 @@ def finalize_matching_sharded(bufs, ctx, scene: Scene, cameras: CameraSet,
             src_seg=src,
             tgt_view=nb_ids[v][camslot].astype(np.int32),
             tgt_seg=tgt,
-            overflow=int(out["overflow"][v]))
+            overflow=int(out["overflow"][v]),
+            need_capacity=int(out["need_capacity"][v]),
+            total_candidates=int(out["total_candidates"][v]))
         all_matches.append(vm)
 
         bs = np.nonzero(out["best_has"][v])[0]

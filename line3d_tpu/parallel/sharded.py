@@ -101,6 +101,12 @@ def _single_view_step(segments, seg_mask, args, quota, m_total, row_chunk,
     merge_drop = jnp.sum(jnp.maximum(n_kept - cam.shape[1], 0))
     out["overflow"] = (res["overflow"].sum() + merge_drop
                        + out.pop("export_drop"))
+    # exact capacity this view would need uncapped (raw gate-passing
+    # counts, pre-quota): rides out so the uncapped fallback needs NO
+    # separate counting dispatch (engine.rematch_views_exact_sharded)
+    n_raw = res["n_valid"].sum(axis=0)                # [S]
+    out["need_capacity"] = jnp.max(n_raw).astype(jnp.int32)
+    out["total_candidates"] = jnp.sum(n_raw).astype(jnp.int32)
     return out
 
 
@@ -177,6 +183,7 @@ def _pack_view_outputs(o, k_export):
         o["best_depths"][:, 0], o["best_depths"][:, 1],   # [S] f32 each
         o["median_depth"][None], bc(o["median_has"][None]),
         bc(o["n_verified"][None]), bc(o["overflow"][None]),
+        bc(o["need_capacity"][None]), bc(o["total_candidates"][None]),
     ])
 
 
@@ -202,6 +209,8 @@ def unpack_view_outputs(buf: np.ndarray, S: int, k_export: int):
     out["median_has"] = take(i32, 1)[:, 0].astype(bool)
     out["n_verified"] = take(i32, 1)[:, 0]
     out["overflow"] = take(i32, 1)[:, 0]
+    out["need_capacity"] = take(i32, 1)[:, 0]
+    out["total_candidates"] = take(i32, 1)[:, 0]
     assert c[0] == buf.shape[1], (c[0], buf.shape)
     return out
 
