@@ -215,15 +215,52 @@ _blur_jit = jax.jit(_blur_and_scale, static_argnums=(1, 2))
 _grad_jit = jax.jit(_gradient_field, static_argnums=(1,))
 
 
+def _front_native(lib, image: np.ndarray, out_h: int, out_w: int,
+                  rho: float):
+    """Native C++ front (blur + antialiased resize + gradient field) —
+    same taps/weights and summation order as the XLA formulation (the
+    resize taps come from _resize_taps, whose equality with
+    jax.image.resize is pinned in tests); ~6x the XLA CPU front at
+    1920x1440 and GIL-free under the image thread pool."""
+    H, W = image.shape
+    sigma = SIGMA_SCALE / SCALE if SCALE < 1 else SIGMA_SCALE
+    k = gaussian_kernel1d(sigma)
+    iy, wy = _resize_taps(H, out_h)
+    ix, wx = _resize_taps(W, out_w)
+    norm = np.empty((out_h, out_w), np.float32)
+    angle = np.empty((out_h, out_w), np.float32)
+    defined = np.empty((out_h, out_w), np.uint8)
+    lib.lsd_front(
+        np.ascontiguousarray(image.reshape(-1), np.float32), H, W,
+        np.ascontiguousarray(k), len(k),
+        np.ascontiguousarray(iy.reshape(-1)),
+        np.ascontiguousarray(wy.reshape(-1)), out_h, iy.shape[1],
+        np.ascontiguousarray(ix.reshape(-1)),
+        np.ascontiguousarray(wx.reshape(-1)), out_w, ix.shape[1],
+        float(rho), np.float32(NOTDEF),
+        norm.reshape(-1), angle.reshape(-1), defined.reshape(-1))
+    return norm, angle, defined.astype(bool)
+
+
 def _front(image, out_h: int, out_w: int):
     """Blur/scale + gradient field.
 
-    Two separate jit programs on purpose: fused, XLA CPU duplicates the
-    gather-resize chain into every gradient consumer (170 ms vs 66 ms for
-    the split at 1920x1440; optimization_barrier does not stop it)."""
+    Native C++ when the library is available (detection is host-side;
+    the XLA CPU front costs ~90 ms/image and its thread pool contends
+    across the CLI's image workers).  XLA fallback in two separate jit
+    programs on purpose: fused, XLA CPU duplicates the gather-resize
+    chain into every gradient consumer (170 ms vs 66 ms for the split at
+    1920x1440; optimization_barrier does not stop it)."""
     prec = math.pi * ANG_TH / 180.0
     rho = QUANT / math.sin(prec)
-    img = _blur_jit(image, out_h, out_w)
+
+    from ..native import load as native_load
+    lib = native_load.get_lib()
+    if lib is not None and hasattr(lib, "lsd_front"):
+        return _front_native(lib, np.asarray(image, np.float32),
+                             out_h, out_w, rho)
+
+    img = _blur_jit(jnp.asarray(image, jnp.float32), out_h, out_w)
     return _grad_jit(img, rho)
 
 

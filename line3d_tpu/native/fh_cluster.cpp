@@ -702,4 +702,141 @@ int64_t lsd_carve(const float* norm, const float* angle,
     return rows;
 }
 
+// Per-thread OpenMP width (omp_set_num_threads sets the calling thread's
+// ICV): the image pool calls this from each worker so one image uses
+// cores/workers threads instead of oversubscribing cores x workers.
+void native_set_num_threads(int64_t n) {
+#ifdef _OPENMP
+    if (n > 0) omp_set_num_threads(static_cast<int>(n));
+#endif
+    (void)n;
+}
+
+// ---------------------------------------------------------------------
+// Detection front half: separable Gaussian blur (edge replication) +
+// antialiased bilinear downscale (sparse taps supplied by the caller,
+// detect/vectorized_lsd._resize_taps — identical weights to
+// jax.image.resize "linear") + the 2x2 gradient field of ll_angle
+// (lsd_opencv.cpp:636-684).  Same math and summation order as the XLA
+// formulation in vectorized_lsd._blur_and_scale/_gradient_field; the
+// native form exists because the XLA CPU front costs ~90 ms/image and
+// contends across the image thread pool, while these loops are plain
+// row-parallel f32 FMAs.
+
+int64_t lsd_front(const float* img, int64_t H, int64_t W,
+                  const float* kern, int64_t nk,
+                  const int32_t* iy, const float* wy, int64_t out_h,
+                  int64_t ty,
+                  const int32_t* ix, const float* wx, int64_t out_w,
+                  int64_t tx,
+                  double rho, float notdef,
+                  float* norm_out, float* angle_out, uint8_t* def_out) {
+    const int64_t r = (nk - 1) / 2;
+    std::vector<float> t1(static_cast<size_t>(H) * W);
+    std::vector<float> t2(static_cast<size_t>(H) * W);
+
+    // vertical blur with edge replication
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t y = 0; y < H; ++y) {
+        float* dst = t1.data() + y * W;
+        for (int64_t x = 0; x < W; ++x) dst[x] = 0.0f;
+        for (int64_t k = 0; k < nk; ++k) {
+            int64_t yy = y + k - r;
+            if (yy < 0) yy = 0;
+            if (yy >= H) yy = H - 1;
+            const float* src = img + yy * W;
+            const float kw = kern[k];
+            for (int64_t x = 0; x < W; ++x) dst[x] += kw * src[x];
+        }
+    }
+    // horizontal blur
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t y = 0; y < H; ++y) {
+        const float* src = t1.data() + y * W;
+        float* dst = t2.data() + y * W;
+        for (int64_t x = 0; x < W; ++x) {
+            float acc = 0.0f;
+            for (int64_t k = 0; k < nk; ++k) {
+                int64_t xx = x + k - r;
+                if (xx < 0) xx = 0;
+                if (xx >= W) xx = W - 1;
+                acc += kern[k] * src[xx];
+            }
+            dst[x] = acc;
+        }
+    }
+
+    // vertical resize: out1[o, :] = sum_k wy[o,k] * t2[iy[o,k], :]
+    std::vector<float> rs(static_cast<size_t>(out_h) * W);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t o = 0; o < out_h; ++o) {
+        float* dst = rs.data() + o * W;
+        for (int64_t x = 0; x < W; ++x) dst[x] = 0.0f;
+        for (int64_t k = 0; k < ty; ++k) {
+            const float kw = wy[o * ty + k];
+            const float* src = t2.data() +
+                static_cast<int64_t>(iy[o * ty + k]) * W;
+            for (int64_t x = 0; x < W; ++x) dst[x] += kw * src[x];
+        }
+    }
+    // horizontal resize into the scaled image
+    std::vector<float> sc(static_cast<size_t>(out_h) * out_w);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t o = 0; o < out_h; ++o) {
+        const float* src = rs.data() + o * W;
+        float* dst = sc.data() + o * out_w;
+        for (int64_t x = 0; x < out_w; ++x) {
+            float acc = 0.0f;
+            for (int64_t k = 0; k < tx; ++k)
+                acc += wx[x * tx + k] * src[ix[x * tx + k]];
+            dst[x] = acc;
+        }
+    }
+
+    // 2x2 gradient field (ll_angle): last row/col undefined
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (int64_t y = 0; y < out_h; ++y) {
+        float* nrow = norm_out + y * out_w;
+        float* arow = angle_out + y * out_w;
+        uint8_t* drow = def_out + y * out_w;
+        if (y == out_h - 1) {
+            for (int64_t x = 0; x < out_w; ++x) {
+                nrow[x] = 0.0f;
+                arow[x] = notdef;
+                drow[x] = 0;
+            }
+            continue;
+        }
+        const float* row0 = sc.data() + y * out_w;
+        const float* row1 = sc.data() + (y + 1) * out_w;
+        for (int64_t x = 0; x < out_w - 1; ++x) {
+            const float A = row0[x], B = row0[x + 1];
+            const float C = row1[x], D = row1[x + 1];
+            const float DA = D - A;
+            const float BC = B - C;
+            const float gx = DA + BC;
+            const float gy = DA - BC;
+            const float n = std::sqrt((gx * gx + gy * gy) * 0.25f);
+            const bool def = n > static_cast<float>(rho);
+            nrow[x] = n;
+            arow[x] = def ? std::atan2(gx, -gy) : notdef;
+            drow[x] = def ? 1 : 0;
+        }
+        nrow[out_w - 1] = 0.0f;
+        arow[out_w - 1] = notdef;
+        drow[out_w - 1] = 0;
+    }
+    return 0;
+}
+
 }  // extern "C"

@@ -121,5 +121,17 @@ def get_lib():
         if hasattr(lib, "sort_unique_i64"):
             lib.sort_unique_i64.argtypes = [i64p, ctypes.c_int64]
             lib.sort_unique_i64.restype = ctypes.c_int64
+        if hasattr(lib, "native_set_num_threads"):
+            lib.native_set_num_threads.argtypes = [ctypes.c_int64]
+            lib.native_set_num_threads.restype = None
+        if hasattr(lib, "lsd_front"):
+            lib.lsd_front.argtypes = [
+                f32p, ctypes.c_int64, ctypes.c_int64,        # img, H, W
+                f32p, ctypes.c_int64,                        # kern, nk
+                i32p, f32p, ctypes.c_int64, ctypes.c_int64,  # iy, wy, oh, ty
+                i32p, f32p, ctypes.c_int64, ctypes.c_int64,  # ix, wx, ow, tx
+                ctypes.c_double, ctypes.c_float,             # rho, notdef
+                f32p, f32p, u8p]                             # norm/angle/def
+            lib.lsd_front.restype = ctypes.c_int64
         _lib = lib
         return _lib

@@ -163,6 +163,41 @@ def test_resize_linear_matches_jax_image():
                                    rtol=1e-5, atol=1e-4)
 
 
+def test_native_front_matches_xla_front():
+    """The native C++ detection front (blur + antialiased resize +
+    gradient field) reproduces the XLA formulation: same taps, same
+    summation order — norm/angle agree to f32 tolerance, the defined
+    mask flips only on rho-borderline pixels."""
+    import math
+    import jax.numpy as jnp
+    from line3d_tpu.native import load as native_load
+    lib = native_load.get_lib()
+    if lib is None or not hasattr(lib, "lsd_front"):
+        import pytest
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(7)
+    img = rng.uniform(0, 255, (180, 240)).astype(np.float32)
+    out_h = int(math.ceil(180 * vectorized_lsd.SCALE))
+    out_w = int(math.ceil(240 * vectorized_lsd.SCALE))
+    prec = math.pi * vectorized_lsd.ANG_TH / 180.0
+    rho = vectorized_lsd.QUANT / math.sin(prec)
+
+    blurred = vectorized_lsd._blur_jit(jnp.asarray(img), out_h, out_w)
+    n_ref, a_ref, d_ref = [np.asarray(x) for x in
+                           vectorized_lsd._grad_jit(blurred, rho)]
+    n_nat, a_nat, d_nat = vectorized_lsd._front_native(
+        lib, img, out_h, out_w, rho)
+
+    np.testing.assert_allclose(n_nat, n_ref, rtol=1e-4, atol=1e-3)
+    flips = (d_nat != d_ref)
+    assert flips.mean() < 1e-3, flips.mean()
+    both = d_nat & d_ref
+    da = np.abs(np.mod(a_nat[both] - a_ref[both] + np.pi, 2 * np.pi)
+                - np.pi)
+    assert da.max() < 1e-3, da.max()
+
+
 def test_detect_short_segments_heavy_noise():
     """Short-segment recall under heavy sensor noise: the seeded carve of
     low-density components (native lsd_carve — the refine /
