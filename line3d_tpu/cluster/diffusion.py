@@ -137,16 +137,10 @@ def _min_symmetrize(i, j, w, eps):
 def resolve_backend(config: L3DConfig) -> str:
     """Resolve config.diffusion_backend: "auto" becomes "device" on a TPU
     backend (where the jitted fori_loop path is ~instant) and "host" on
-    CPU (keeping the float64 reference path for tests/golden runs)."""
-    b = config.diffusion_backend
-    if b != "auto":
-        return b
-    import jax
-    try:
-        return "device" if jax.default_backend() in ("tpu", "axon") \
-            else "host"
-    except Exception:
-        return "host"
+    CPU (keeping the float64 reference path for tests/golden runs;
+    shared rule, utils.backend)."""
+    from ..utils.backend import resolve_auto_backend
+    return resolve_auto_backend(config.diffusion_backend)
 
 
 def run_diffusion(graph, config: L3DConfig, verbose: bool = False,

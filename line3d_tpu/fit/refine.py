@@ -133,13 +133,21 @@ def refine_lines(P0, d, Pm, p1, p2, mask, iterations: int = 5,
 
 
 def _residuals_jnp(P0, d, Pm, p1, p2, mask):
-    """jax twin of _residuals (same math, f32 device arrays)."""
+    """jax twin of _residuals (same math, f32 device arrays).
+
+    HIGHEST precision on the projection einsums: the default MXU path
+    truncates f32 to bf16, and with K-scale entries ~1500 that is whole
+    PIXELS of reprojection error — the Gauss-Newton steps would be
+    computed from noise (the CPU-mesh equivalence test cannot catch
+    this; only a real TPU run would)."""
+    import jax
     import jax.numpy as jnp
     ones = jnp.ones((P0.shape[0], 1), P0.dtype)
     Xa = jnp.concatenate([P0, ones], axis=1)
     Xb = jnp.concatenate([P0 + d, ones], axis=1)
-    xa = jnp.einsum("cmij,cj->cmi", Pm, Xa)
-    xb = jnp.einsum("cmij,cj->cmi", Pm, Xb)
+    hi = jax.lax.Precision.HIGHEST
+    xa = jnp.einsum("cmij,cj->cmi", Pm, Xa, precision=hi)
+    xb = jnp.einsum("cmij,cj->cmi", Pm, Xb, precision=hi)
     l = jnp.cross(xa, xb)
     den = jnp.sqrt(l[..., 0] ** 2 + l[..., 1] ** 2)
     ok = (jnp.abs(xa[..., 2]) > 1e-12) & (jnp.abs(xb[..., 2]) > 1e-12) & \
@@ -204,8 +212,9 @@ def _refine_lines_jit(P0, d, Pm, p1, p2, mask, iterations: int,
 
         Jf = (J * w[..., None]).reshape(C, -1, 4)
         rf = (r0 * w).reshape(C, -1)
-        H = jnp.einsum("cik,cil->ckl", Jf, Jf)
-        g = jnp.einsum("cik,ci->ck", Jf, rf)
+        hi = jax.lax.Precision.HIGHEST
+        H = jnp.einsum("cik,cil->ckl", Jf, Jf, precision=hi)
+        g = jnp.einsum("cik,ci->ck", Jf, rf, precision=hi)
         tr = jnp.trace(H, axis1=1, axis2=2)
         H = H + damping * jnp.eye(4, dtype=P0.dtype)[None] * \
             jnp.maximum(tr, 1.0)[:, None, None]
@@ -228,17 +237,31 @@ def _refine_lines_jit(P0, d, Pm, p1, p2, mask, iterations: int,
 
 def resolve_backend(config) -> str:
     """Resolve config.refine_backend: "auto" becomes "device" on a TPU
-    backend and "host" otherwise (same rule as diffusion.resolve_backend:
-    CPU runs/tests keep the f64 reference path)."""
-    b = getattr(config, "refine_backend", "auto")
-    if b != "auto":
-        return b
+    backend and "host" otherwise (shared rule, utils.backend)."""
+    from ..utils.backend import resolve_auto_backend
+    return resolve_auto_backend(getattr(config, "refine_backend", "auto"))
+
+
+def _make_refine_jit():
     import jax
-    try:
-        return "device" if jax.default_backend() in ("tpu", "axon") \
-            else "host"
-    except Exception:
-        return "host"
+    return jax.jit(_refine_lines_jit,
+                   static_argnames=("iterations", "huber_delta", "damping"))
+
+
+class _LazyJit:
+    """Module-level jit wrapper created on first use (keeps the jax import
+    out of module import; one persistent cache across calls — a fresh
+    jax.jit(partial(...)) per call would never hit the executable cache)."""
+
+    _fn = None
+
+    def __call__(self, *args, **kw):
+        if _LazyJit._fn is None:
+            _LazyJit._fn = _make_refine_jit()
+        return _LazyJit._fn(*args, **kw)
+
+
+_refine_jit = _LazyJit()
 
 
 def refine_lines_device(P0, d, Pm, p1, p2, mask, iterations: int = 5,
@@ -276,11 +299,9 @@ def refine_lines_device(P0, d, Pm, p1, p2, mask, iterations: int = 5,
             pad(np.asarray(p2, np.float32)),
             pad(np.asarray(mask, bool), fill=False))
 
-    fn = jax.jit(functools.partial(_refine_lines_jit,
-                                   iterations=int(iterations),
-                                   huber_delta=float(huber_delta),
-                                   damping=float(damping)))
-    P0f, df, rms_b, rms_a = fn(*args)
+    P0f, df, rms_b, rms_a = _refine_jit(
+        *args, iterations=int(iterations), huber_delta=float(huber_delta),
+        damping=float(damping))
     return (np.asarray(P0f[:C], np.float64), np.asarray(df[:C], np.float64),
             np.asarray(rms_b[:C], np.float64),
             np.asarray(rms_a[:C], np.float64))

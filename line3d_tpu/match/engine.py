@@ -439,7 +439,10 @@ def _assemble_view_outputs(ctx: _ViewContext, v: int, nb: np.ndarray, o,
 
     packed = np.asarray(o["exp_packed"])
     packed = packed[packed >= 0]
-    src, camslot, tgt = sharded.unpack_export(packed, S, len(nb))
+    # the device packed cam slots with the PADDED neighbor-slot width
+    # (ctx.n_max), not this view's actual count — the widths differ
+    # whenever len(nb) rounds to a smaller bit length
+    src, camslot, tgt = sharded.unpack_export(packed, S, ctx.n_max)
     vm = ViewMatches(
         view=v,
         src_seg=src,

@@ -129,6 +129,33 @@ def test_dense_scene_saturates_and_fallback_restores_oracle():
     np.testing.assert_array_equal(med_fb, med_or)
 
 
+def test_rematch_ragged_neighbor_counts_unpack():
+    """Regression: the per-view rematch packs camera slots with the PADDED
+    neighbor-slot width (n_max) but used to unpack with the view's actual
+    count — corrupting match identities for any view with fewer neighbors
+    than the scene max (bit widths differ, e.g. 5 vs 2 slots)."""
+    syn = _dense_syn(num_views=6)
+    cfg = dataclasses.replace(L3DConfig(), match_block_quota=1,
+                              max_matches_per_segment=8)
+    cams = syn.cameras
+    tr = compute_conditioning(cams.C)
+    cams.transform(tr.Qinv, tr.scale)
+    # ragged: view 0 gets 5 neighbors (cbits=3), view 1 only 2 (cbits=1)
+    neighbors = [[1, 2, 3, 4, 5], [0, 2], [0, 1], [0], [0], [0]]
+
+    got = engine.rematch_views_exact(syn.scene, cams, neighbors, cfg,
+                                     views=[0, 1])
+    big = dataclasses.replace(cfg, match_block_quota=128,
+                              max_matches_per_segment=10**6)
+    m_or, b_or, _ = engine.run_matching(syn.scene, cams, neighbors, big)
+    oracle = {vm.view: vm for vm in m_or}
+    for v in (0, 1):
+        vm = got[v][0]
+        # every decoded target view must be a real neighbor of v
+        assert set(np.unique(vm.tgt_view)) <= set(neighbors[v])
+        assert _match_key(vm) == _match_key(oracle[v])
+
+
 def test_sharded_rematch_matches_per_view_oracle():
     """rematch_views_exact_sharded (the chunked-device fallback the
     pipeline uses) must reproduce the per-view rematch oracle exactly —
