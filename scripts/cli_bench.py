@@ -45,13 +45,23 @@ def _wp_views(scene, num_views):
     return wp_views
 
 
-def render_dataset(root, num_views, width, height):
-    from line3d_tpu.utils.demo import make_facade_scene
+def _make_scene(kind, num_views, width, height):
     from line3d_tpu.config import L3DConfig
+    if kind == "facade":
+        from line3d_tpu.utils.demo import make_facade_scene
+        return make_facade_scene(num_views=num_views, width=width,
+                                 height=height, focal=0.9 * width,
+                                 config=L3DConfig())
+    # sparse wireframe (the round-2 detection-bound CLI row's shape)
+    from line3d_tpu.utils.demo import make_demo_scene
+    scene, cams = make_demo_scene(num_views=num_views, width=width,
+                                  height=height, focal=0.9 * width,
+                                  config=L3DConfig())
+    return scene, cams
 
-    scene, cams = make_facade_scene(num_views=num_views, width=width,
-                                    height=height, focal=0.9 * width,
-                                    config=L3DConfig())
+
+def render_dataset(root, num_views, width, height, kind="facade"):
+    scene, cams = _make_scene(kind, num_views, width, height)
     _render_images(scene, os.path.join(root, "visualize"),
                    lambda v: f"{v:08d}.jpg", width, height)
 
@@ -78,15 +88,10 @@ def render_dataset(root, num_views, width, height):
     return scene
 
 
-def render_nvm_dataset(root, num_views, width, height):
+def render_nvm_dataset(root, num_views, width, height, kind="facade"):
     """NVM_V3 dataset as main_vsfm.cpp:121-223 parses it (the ~200-image
     VisualSfM benchmark config, BASELINE.md)."""
-    from line3d_tpu.utils.demo import make_facade_scene
-    from line3d_tpu.config import L3DConfig
-
-    scene, cams = make_facade_scene(num_views=num_views, width=width,
-                                    height=height, focal=0.9 * width,
-                                    config=L3DConfig())
+    scene, cams = _make_scene(kind, num_views, width, height)
     _render_images(scene, root, lambda v: f"img_{v:04d}.jpg",
                    width, height)
 
@@ -139,6 +144,10 @@ def main():
                     help="benchmark the cached re-run mode (-l)")
     ap.add_argument("--format", choices=("bundler", "nvm"),
                     default="bundler")
+    ap.add_argument("--scene", choices=("facade", "house"),
+                    default="facade",
+                    help="facade = realistic density (exact-path bound); "
+                         "house = sparse wireframe (detection bound)")
     args = ap.parse_args()
 
     from line3d_tpu.utils.xla_cache import enable_persistent_cache
@@ -154,7 +163,8 @@ def main():
               flush=True)
         render_fn = render_dataset if args.format == "bundler" \
             else render_nvm_dataset
-        render_fn(root, args.views, args.width, args.height)
+        render_fn(root, args.views, args.width, args.height,
+                  kind=args.scene)
 
     cli_args = (["bundler", "-i", root] if args.format == "bundler"
                 else ["vsfm", "-i", os.path.join(root, "scene.nvm")])
