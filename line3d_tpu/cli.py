@@ -135,6 +135,16 @@ def _finish(l3d: Line3D, args, output_folder: str):
     print(f"[SYS] 3D lines:        {len(result)}")
     print(f"[SYS] 3D segments:     {num_segs}")
     print(f"[SYS] #images:         {l3d.num_cameras()}")
+    st = l3d.stats
+    print("[SYS] stage seconds:   "
+          + " ".join(f"{k[2:]}={st[k]:.2f}" for k in
+                     ("t_detect", "t_setup", "t_graph", "t_match",
+                      "t_cluster", "t_total") if k in st))
+    extras = {k: st[k] for k in ("match_overflow",
+                                 "views_rematched_uncapped",
+                                 "collinearity_overflow") if st.get(k)}
+    if extras:
+        print(f"[SYS] exactness:       {extras}")
     return stem
 
 
