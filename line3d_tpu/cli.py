@@ -140,9 +140,15 @@ def _finish(l3d: Line3D, args, output_folder: str):
           + " ".join(f"{k[2:]}={st[k]:.2f}" for k in
                      ("t_detect", "t_setup", "t_graph", "t_match",
                       "t_cluster", "t_total") if k in st))
+    if st.get("t_cluster", 0.0) >= 1.0:
+        print("[SYS] cluster breakdown: "
+              + " ".join(f"{k[2:]}={st[k]:.2f}" for k in
+                         ("t_affinity", "t_diffusion", "t_fh", "t_fit")
+                         if k in st))
     extras = {k: st[k] for k in ("match_overflow",
                                  "views_rematched_uncapped",
-                                 "collinearity_overflow") if st.get(k)}
+                                 "collinearity_overflow",
+                                 "views_recollin_exact") if st.get(k)}
     if extras:
         print(f"[SYS] exactness:       {extras}")
     return stem

@@ -123,7 +123,8 @@ def process_clusters(graph: AffinityGraph, labels: np.ndarray,
                      config: L3DConfig, max_segments: int,
                      verbose: bool = False, refine: bool = False,
                      scene_segments: np.ndarray | None = None,
-                     P_cond: np.ndarray | None = None) -> list:
+                     P_cond: np.ndarray | None = None,
+                     mesh=None) -> list:
     """Turn cluster labels into FinalLine3D results.
 
     With refine=True (an additive capability beyond the reference), each
@@ -148,12 +149,13 @@ def process_clusters(graph: AffinityGraph, labels: np.ndarray,
                                          verbose)
     return _process_clusters_loop(graph, labels, best, transform, config,
                                   max_segments, verbose, refine,
-                                  scene_segments, P_cond)
+                                  scene_segments, P_cond, mesh=mesh)
 
 
 def _process_clusters_loop(graph, labels, best, transform, config,
                            max_segments, verbose=False, refine=False,
-                           scene_segments=None, P_cond=None) -> list:
+                           scene_segments=None, P_cond=None,
+                           mesh=None) -> list:
     """Per-cluster loop (processClusteredSegments, line3D.cc:1306-1368)."""
 
     # best-match row per node
@@ -198,12 +200,15 @@ def _process_clusters_loop(graph, labels, best, transform, config,
             msegs.append(graph.node_seg[nodes])
         Pm, p1, p2, mask = refine_mod.build_cluster_member_data(
             mviews, msegs, scene_segments, P_cond)
+        kw = {}
         refine_fn = refine_mod.refine_lines
         if refine_mod.resolve_backend(config) == "device":
             refine_fn = refine_mod.refine_lines_device
+            if mesh is not None:
+                kw["mesh"] = mesh   # shard the cluster axis over the mesh
         P0r, dr, rms_b, rms_a = refine_fn(
             np.stack(P0s), np.stack(ds), Pm, p1, p2, mask,
-            iterations=config.refine_iterations)
+            iterations=config.refine_iterations, **kw)
         if verbose:
             print(f"[L3D] refinement: median rms {np.median(rms_b):.3f} -> "
                   f"{np.median(rms_a):.3f} px over {len(kept)} lines")

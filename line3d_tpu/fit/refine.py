@@ -265,19 +265,34 @@ _refine_jit = _LazyJit()
 
 
 def refine_lines_device(P0, d, Pm, p1, p2, mask, iterations: int = 5,
-                        huber_delta: float = 2.0, damping: float = 1e-6):
+                        huber_delta: float = 2.0, damping: float = 1e-6,
+                        mesh=None):
     """Device-batched refine_lines (float32, exact JVP Jacobians).
 
     Same signature/semantics as refine_lines; ~equal optima (both are
     rms-gated Gauss-Newton on the same residuals — equivalence within
     f32/f64 tolerance is pinned in tests/test_refine.py).  Pads the
     cluster axis to a multiple of 256 so repeated calls reuse executables.
+
+    With `mesh` (a 1-D "views" device mesh), the cluster axis is sharded
+    over the mesh: each per-cluster Gauss-Newton is independent (no
+    cross-cluster term anywhere), so the whole solve partitions with zero
+    collectives — the multi-chip path for the 100k+-cluster refinement
+    stage that is serial-host in the reference era (BASELINE.md north
+    star; the per-cluster loop analogue is processClusteredSegments,
+    line3D.cc:1306-1368).  Sharded ≡ unsharded is pinned in
+    tests/test_refine.py.
     """
+    import math
+
     import jax
     import jax.numpy as jnp
 
     C = len(P0)
-    Cp = max(256, ((C + 255) // 256) * 256)
+    mult = 256
+    if mesh is not None:
+        mult = math.lcm(256, mesh.devices.size)
+    Cp = max(mult, ((C + mult - 1) // mult) * mult)
     padc = Cp - C
 
     def pad(x, fill=0.0):
@@ -298,6 +313,9 @@ def refine_lines_device(P0, d, Pm, p1, p2, mask, iterations: int = 5,
             pad(np.asarray(p1, np.float32)),
             pad(np.asarray(p2, np.float32)),
             pad(np.asarray(mask, bool), fill=False))
+    if mesh is not None:
+        from ..parallel.mesh import shard_leading
+        args = tuple(shard_leading(mesh, a) for a in args)
 
     P0f, df, rms_b, rms_a = _refine_jit(
         *args, iterations=int(iterations), huber_delta=float(huber_delta),

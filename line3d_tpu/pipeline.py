@@ -24,6 +24,7 @@ from .match.collinearity import collinearity_maps_fast, \
     apply_collinearity_exact_fallback
 from .cluster import affinity, fh, diffusion as diffusion_mod
 from .fit import lines as fit_lines
+from .fit import refine as refine_mod
 from .io import writers
 
 
@@ -471,6 +472,7 @@ class Line3D:
         graph = affinity.build_affinity_graph(
             best, matches, scene.collin, cams, cfg, scene.max_segments,
             verbose=self.verbose)
+        t2a = time.time()
         if diffu and graph.num_nodes:
             # device backend: shard the [E]-vector diffusion over the mesh
             # (performDiffusion, line3D.cc:1255-1303 — whose GPU version is
@@ -482,15 +484,26 @@ class Line3D:
                 d_mesh = mesh_mod.make_view_mesh()
             graph = diffusion_mod.run_diffusion(graph, cfg, self.verbose,
                                                 mesh=d_mesh)
+        t2b = time.time()
         if graph.num_nodes:
             labels = fh.fh_cluster(graph.edges_i, graph.edges_j,
                                    graph.edges_w, graph.num_nodes, cfg.fh_c)
+            t2c = time.time()
+            # device refine shards its cluster axis over the views mesh
+            # (independent per-cluster Gauss-Newton, zero collectives)
+            r_mesh = None
+            if cfg.refine_lines and \
+                    refine_mod.resolve_backend(cfg) == "device":
+                from .parallel import mesh as mesh_mod
+                r_mesh = mesh_mod.make_view_mesh()
             self.result = fit_lines.process_clusters(
                 graph, labels, best, self.transform, cfg,
                 scene.max_segments, verbose=self.verbose,
                 refine=cfg.refine_lines,
-                scene_segments=scene.segments, P_cond=cams.P)
+                scene_segments=scene.segments, P_cond=cams.P,
+                mesh=r_mesh)
         else:
+            t2c = t2b
             self.result = []
         t3 = time.time()
 
@@ -502,6 +515,9 @@ class Line3D:
             t_detect=self.stats.get("t_detect", 0.0),
             t_setup=t_collin - t_graph, t_graph=t_graph,
             t_match=t2 - t1, t_cluster=t3 - t2, t_total=t3 - t0,
+            # cluster-stage composition (all host except device diffusion)
+            t_affinity=t2a - t2, t_diffusion=t2b - t2a,
+            t_fh=t2c - t2b, t_fit=t3 - t2c,
             match_overflow=int(overflow_total),
             views_rematched_uncapped=int(n_rematched),
             collinearity_overflow=coll_overflow,

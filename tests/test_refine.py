@@ -91,6 +91,49 @@ def test_refine_device_matches_host():
     assert perp.max() < 5e-3, perp.max()
 
 
+def test_refine_device_sharded_matches_unsharded():
+    """Sharding the cluster axis over an 8-device mesh is bit-equivalent to
+    the single-device run: the per-cluster Gauss-Newton has no cross-cluster
+    term, so partitioning must not change any value (and needs zero
+    collectives)."""
+    import jax
+    from line3d_tpu.parallel import mesh as mesh_mod
+
+    rng = np.random.default_rng(7)
+    syn = make_scene(num_views=8, noise_px=0.3, seed=4)
+    cams = syn.cameras
+
+    mviews, msegs, P0s, d0s = [], [], [], []
+    for li, (A, B) in enumerate(syn.lines3d):
+        mv, ms = [], []
+        for v in range(8):
+            hits = np.nonzero(syn.seg_line_id[v] == li)[0]
+            for s in hits:
+                mv.append(v)
+                ms.append(s)
+        if len(mv) < 4:
+            continue
+        mviews.append(np.array(mv))
+        msegs.append(np.array(ms))
+        d_true = (B - A) / np.linalg.norm(B - A)
+        P0s.append((A + B) / 2 + rng.normal(0, 0.03, 3))
+        d0 = d_true + rng.normal(0, 0.03, 3)
+        d0s.append(d0 / np.linalg.norm(d0))
+
+    Pm, p1, p2, mask = refine.build_cluster_member_data(
+        mviews, msegs, syn.scene.segments, cams.P)
+    P0, d0 = np.stack(P0s), np.stack(d0s)
+
+    mesh = mesh_mod.make_view_mesh(jax.devices()[:8])
+    Pu, du, rbu, rau = refine.refine_lines_device(P0, d0, Pm, p1, p2, mask,
+                                                  iterations=6)
+    Ps, ds, rbs, ras = refine.refine_lines_device(P0, d0, Pm, p1, p2, mask,
+                                                  iterations=6, mesh=mesh)
+    np.testing.assert_array_equal(Ps, Pu)
+    np.testing.assert_array_equal(ds, du)
+    np.testing.assert_array_equal(ras, rau)
+
+
 def test_pipeline_with_refinement_improves_noisy_scene():
     syn = make_scene(num_views=10, noise_px=0.7, seed=2)
 
