@@ -17,11 +17,20 @@ pipeline with the same validation statistics:
      NFA validation with the same binomial-tail statistic
      (nfa, lsd_opencv.cpp:1198-1234) on the host for surviving candidates.
 
-Differences vs the reference (documented, by design): no iterative region
-refinement / radius reduction (low-density regions are rejected rather than
-shrunk), and the NFA counts the region's own pixels against the fitted
-rectangle's area instead of re-rasterizing the rectangle.  Recall of long
-segments is validated against OpenCV's LSD in tests/test_detect.py.
+Low-density regions go through the reference's refine / radius-reduce
+chain: the native `lsd_carve` (native/fh_cluster.cpp) re-grows failing
+components with per-seed tolerance and shrinking radius
+(refine/reduce_region_radius, lsd_opencv.cpp:884-969), with a
+tolerance-halving ladder as the pure-python fallback — the analogue of
+rect_improve's p/2 precision search (lsd_opencv.cpp:995-1008).
+
+Remaining structural divergences vs the reference (documented, by
+design): rect_improve's rectangle-WIDTH / one-side reduction variants
+(lsd_opencv.cpp:1010-1070) have no counterpart, and the NFA counts the
+region's own pixels against the fitted rectangle's area instead of
+re-rasterizing the rectangle (rect_nfa, lsd_opencv.cpp:1075-1196).  Both
+are covered statistically: mutual recall vs OpenCV's LSD is pinned at
+0.99-1.00 in tests/test_detect.py.
 """
 from __future__ import annotations
 

@@ -291,7 +291,13 @@ def refine_lines_device(P0, d, Pm, p1, p2, mask, iterations: int = 5,
     C = len(P0)
     mult = 256
     if mesh is not None:
-        mult = math.lcm(256, mesh.devices.size)
+        # round the mesh size UP to a power of two before taking the lcm:
+        # a 6- or 12-device slice would otherwise mint its own cluster-pad
+        # bucket (and a fresh 40-160 s first-execution remote compile) per
+        # distinct mesh size — pow2-stable buckets mirror the view-axis
+        # bucketing rationale (engine.dispatch_matching_sharded)
+        n_dev = 1 << (mesh.devices.size - 1).bit_length()
+        mult = math.lcm(256, n_dev)
     Cp = max(mult, ((C + mult - 1) // mult) * mult)
     padc = Cp - C
 

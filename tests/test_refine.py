@@ -129,9 +129,13 @@ def test_refine_device_sharded_matches_unsharded():
                                                   iterations=6)
     Ps, ds, rbs, ras = refine.refine_lines_device(P0, d0, Pm, p1, p2, mask,
                                                   iterations=6, mesh=mesh)
-    np.testing.assert_array_equal(Ps, Pu)
-    np.testing.assert_array_equal(ds, du)
-    np.testing.assert_array_equal(ras, rau)
+    # bit-exact today, but partitioning legally lets XLA re-fuse the
+    # within-cluster einsum reductions at the per-shard batch shape — a
+    # tight tolerance (not exact equality) keeps this robust across XLA
+    # upgrades/backends while still catching any real sharding bug
+    np.testing.assert_allclose(Ps, Pu, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(ds, du, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(ras, rau, rtol=0, atol=1e-6)
 
 
 def test_pipeline_with_refinement_improves_noisy_scene():
