@@ -1,28 +1,41 @@
-"""Benchmark: pair-affinity rate + warm end-to-end images/s on one chip.
+"""Benchmark: reference-EXACT end-to-end images/s (headline) + kernel rates
+and rooflines, one JSON line (driver contract).
 
-Two numbers, one JSON line (driver contract):
+Headline (``value``): **reference-exact warm end-to-end images/s at the
+Herz-Jesu-P25 shape** (25 views x 2990 segments, 10 neighbors, random
+clutter).  "Exact" means the produced model is provably identical to a run
+with the reference's unbounded match lists (cudawrapper.cu:923-1007): the
+capacity probe measures every view's gate-passing counts and the single
+mainline pass launches at the exact pow2-bucketed capacity
+(``e2e_exact_views_rematched`` must be 0 and ``residual_overflow`` 0).
+The capped row (``e2e_capped_*``) runs the SAME scene with the guard
+disarmed — the throughput ceiling when result-changing drops are
+acceptable — so capped-vs-exact cost is visible on one input.
 
-  * ``value`` (headline): candidate line-pair affinities/sec/chip — the full
-    raw-matching stage (the TPU replacement for K_pairwise_matches PLUS the
-    reference's host-side download/sort/offset build, cudawrapper.cu:538-611
-    and 923-1007) at production shape: 3072 padded segments per view, 10
-    visual neighbors.  Fused pairwise epipolar kernel, per-128-block key
-    compaction, cross-neighbor merge, depth recompute at the compacted
-    shape; every stage's output feeds the timed reduction so nothing is
-    dead-code-eliminated.
-  * ``e2e_images_per_sec_p25``: warm end-to-end images/s at the
-    Herz-Jesu-P25 shape (25 views x 2990 segments, 10 neighbors) — the
-    BASELINE.md north-star metric, covering detection-bypass scene build,
-    matching, scoring, selection, collinearity, affinity, clustering, and
-    line fitting (reference driver: cudawrapper.cu:858-1128 per view).
+Supporting rows:
+  * ``pair_affinities_per_sec_per_chip`` — the full raw-matching stage at
+    production shape (kernel + per-block compaction + merge + depth
+    recompute; the TPU replacement for K_pairwise_matches plus the
+    reference's host-side download/sort/offset build,
+    cudawrapper.cu:538-611, 923-1007).  Continuity row with BENCH_r01-r03
+    where it was the headline.
+  * ``pair_kernel_roofline_pct`` / ``scoring_kernel_roofline_pct`` —
+    measured %-of-VPU-roofline for the two production Pallas kernels:
+    (useful-math flops / measured kernel seconds) / measured VPU FMA peak.
+    Useful-math flops come from XLA's cost model on the equivalence-tested
+    XLA twins (scripts/roofline_flops.py regenerates the constants); the
+    FMA peak is measured on the same chip with a VMEM-resident chained-FMA
+    Pallas kernel, so every term is auditable.
+  * ``e2e_exact_facade_*`` — the structured facade scene (round-3
+    continuity row; realistic epipolar density, reference-exact).
 
 Measurement protocol (required on this TPU tunnel backend, which memoizes
 repeated identical executions and whose per-dispatch overhead is ~15 ms):
-the kernel benchmark runs N iterations inside one device-side fori_loop
-with the input perturbed per iteration and a host readback to force
-execution; the e2e benchmark perturbs the scene's segment coordinates per
-trial so no two dispatches are memoizable, and takes the best of 3 warm
-trials after a discarded cold (compile/load) run.
+kernel benchmarks run N iterations inside one device-side fori_loop with
+the input perturbed per iteration and a host readback to force execution;
+the e2e benchmarks perturb the scene's segment coordinates per trial so no
+two dispatches are memoizable, and take the best of 3 warm trials after a
+discarded cold (compile/load) run.
 
 Tunnel health: the axon PJRT connect blocks forever without error when the
 relay is down (observed 2026-08-18).  Before touching the device in-process
@@ -30,10 +43,13 @@ we probe with short subprocess attempts under exponential backoff, bounded
 by the watchdog window, so a transient blip doesn't zero the round but a
 real outage still exits non-zero promptly.
 
-vs_baseline is measured against a nominal (NOT measured — the reference
-publishes no numbers, BASELINE.md) 1e9 pair-affinities/sec for the CUDA
-kernel on a 2015-era GPU (16x16 blocks over a 3000x3000 grid, a few
-hundred flops per pair).
+vs_baseline is measured against a NOMINAL (NOT measured — the reference
+publishes no numbers, BASELINE.md) 2.0 images/s for the reference's
+cached-segments mode (its matching+selection+clustering path, which this
+row mirrors) on a 2015-era GPU: ten 3000x3000-pair kernel grids per view
+plus a full raw-match download + host sort/selection per view
+(cudawrapper.cu:897-1128) at ~0.5 s/view.  The nominal 1e9 pair
+affinities/s figure for the pair-rate row is carried over from r01-r03.
 """
 import json
 import os
@@ -51,18 +67,26 @@ import numpy as np
 from line3d_tpu.utils.xla_cache import enable_persistent_cache
 enable_persistent_cache()
 
+NOMINAL_BASELINE_E2E_IPS = 2.0
 NOMINAL_BASELINE_PAIRS_PER_SEC = 1.0e9
 LOOP_N = 16
 E2E_VIEWS = 25
 E2E_SEGMENTS = 2990
-EXACT_VIEWS = 25
 
-# Watchdog: a healthy bench finishes in ~3 min warm and ~12 min on cold
+# Useful-math FLOPs of the two hot kernels per inner element, from XLA's
+# cost model on the equivalence-tested XLA twins (regenerate with
+# scripts/roofline_flops.py after changing kernel math):
+#   pair:    457.24 flops + 22.01 transcendentals per (src, tgt) pair
+#   scoring:  51.51 flops +  0.51 transcendentals per (src, m, m') element
+PAIR_FLOPS_PER_PAIR = 457.24
+SCORING_FLOPS_PER_ELEM = 51.51
+
+# Watchdog: a healthy bench finishes in ~4 min warm and ~15 min on cold
 # remote compiles (the axon service compiles each new executable on first
 # execution, 40-160 s each, high variance; the exact-path rows add the
-# M=1024 rematch executables).  If we are still running at the deadline the
-# tunnel died mid-run — exit non-zero instead of stalling the driver
-# indefinitely.
+# probe + exact-capacity executables).  If we are still running at the
+# deadline the tunnel died mid-run — exit non-zero instead of stalling the
+# driver indefinitely.
 BENCH_DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", 2700))
 # Minimum window the measured phase needs after probing succeeds (cold
 # remote compiles of the match + e2e programs dominate).
@@ -124,17 +148,17 @@ def _wait_for_tunnel(deadline):
         delay = min(delay * 2, 120.0)
 
 
-def _bench_pair_rate(cfg):
-    """Pair-affinity rate at production shape (device-side fori_loop)."""
-    import jax
+def _demo_match_fixture(cfg, num_views=12):
+    """Shared fixture for the kernel-stage benches: one view of the
+    production-shape clutter scene with its 10 neighbors' arrays."""
     import jax.numpy as jnp
     from line3d_tpu.core.conditioning import compute_conditioning
     from line3d_tpu.scene import view_similarities_from_worldpoints, \
         find_visual_neighbors
     from line3d_tpu.utils.demo import make_demo_scene
-    from line3d_tpu.match import pairwise
 
-    scene, cams = make_demo_scene(num_views=12, num_random_segments=E2E_SEGMENTS,
+    scene, cams = make_demo_scene(num_views=num_views,
+                                  num_random_segments=E2E_SEGMENTS,
                                   config=cfg)
     tr = compute_conditioning(cams.C)
     cams.transform(tr.Qinv, tr.scale)
@@ -145,23 +169,44 @@ def _bench_pair_rate(cfg):
     v = 0
     nb = np.asarray(neighbors[v])
     N = len(nb)
-    S = scene.max_segments
-
     F = cams.fundamentals_for_pairs(
         np.stack([np.full(N, v), nb], axis=1)).astype(np.float32)
+    nbd = (jnp.asarray(scene.segments[nb]), jnp.asarray(scene.seg_mask[nb]),
+           jnp.asarray(F), jnp.asarray(cams.f32("RtKinv")[nb]),
+           jnp.asarray(cams.f32("C")[nb]), jnp.asarray(np.ones(N, bool)))
+    src = (jnp.asarray(scene.segments[v]), jnp.asarray(scene.seg_mask[v]),
+           jnp.asarray(cams.f32("RtKinv")[v]), jnp.asarray(cams.f32("C")[v]))
+    return scene, cams, src, nbd, N
 
-    args = (jnp.asarray(scene.segments[nb]), jnp.asarray(scene.seg_mask[nb]),
-            jnp.asarray(F), jnp.asarray(cams.f32("RtKinv")[nb]),
-            jnp.asarray(cams.f32("C")[nb]), jnp.asarray(np.ones(N, bool)))
-    src_rest = (jnp.asarray(scene.seg_mask[v]),
-                jnp.asarray(cams.f32("RtKinv")[v]),
-                jnp.asarray(cams.f32("C")[v]))
+
+def _timed_loop(loop_fn, base, *rest, n_iter=LOOP_N):
+    """Compile + 3 perturbed trials of a device-side fori_loop bench;
+    returns best seconds per iteration."""
+    float(loop_fn(base, *rest))          # compile + warm
+    times = []
+    for trial in range(3):
+        x = base + np.float32(0.01 * (trial + 1))
+        t0 = time.perf_counter()
+        float(loop_fn(x, *rest))         # host read forces execution
+        times.append(time.perf_counter() - t0)
+    return min(times) / n_iter
+
+
+def _bench_pair_rate(fixture):
+    """Full raw-matching stage rate at production shape (device fori_loop):
+    pair kernel + per-block compaction + cross-neighbor merge + depth
+    recompute, every stage consumed so nothing is dead-code-eliminated."""
+    import jax
+    import jax.numpy as jnp
+    from line3d_tpu.match import pairwise
+
+    scene, cams, src, nbd, N = fixture
+    segs_src, mask_src, RtKinv_src, C_src = src
+    S = scene.max_segments
 
     @jax.jit
-    def loop(segs_src, *a):
-        (mask_src, RtKinv_src, C_src,
-         segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, nb_mask) = a
-
+    def loop(segs_src, mask_src, RtKinv_src, C_src,
+             segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, nb_mask):
         def body(i, acc):
             x = segs_src + i.astype(jnp.float32) * 1e-4
             res = pairwise.match_view_against_neighbors(
@@ -173,147 +218,228 @@ def _bench_pair_rate(cfg):
             depths = pairwise.depths_for_matches(
                 x, segs_nb, cam, tgt, valid,
                 F_nb, RtKinv_src, RtKinv_nb, C_src, C_nb)
-            # consume every stage so nothing is dead-code-eliminated
             return (acc + res["n_valid"].sum().astype(jnp.float32)
                     + depths.sum() + cam.sum().astype(jnp.float32))
         return jax.lax.fori_loop(0, LOOP_N, body, jnp.float32(0))
 
-    base = jnp.asarray(scene.segments[v])
-    float(loop(base, *src_rest, *args))          # compile + warm
-
-    times = []
-    for trial in range(3):
-        x = jnp.asarray(scene.segments[v] + np.float32(0.01 * (trial + 1)))
-        t0 = time.perf_counter()
-        float(loop(x, *src_rest, *args))         # host read forces execution
-        times.append(time.perf_counter() - t0)
-
-    per_iter = min(times) / LOOP_N
+    per_iter = _timed_loop(lambda x, *a: loop(x, mask_src, RtKinv_src,
+                                              C_src, *a), segs_src, *nbd)
     return N * S * S / per_iter
 
 
-def _bench_e2e():
-    """Warm end-to-end images/s at the Herz-Jesu-P25 shape.
+def _bench_pair_kernel_seconds(fixture):
+    """The pair-valid Pallas kernel ALONE (one neighbor scan, no
+    compaction) — the roofline numerator's denominator."""
+    import jax
+    import jax.numpy as jnp
+    from line3d_tpu.match import pairwise
 
-    Per-trial segment perturbation defeats the tunnel's result memoization
-    (identical program + identical inputs would return a cached answer).
-    """
+    scene, cams, src, nbd, N = fixture
+    segs_src, mask_src, RtKinv_src, C_src = src
+    S = scene.max_segments
+    if pairwise.use_pallas():
+        from line3d_tpu.match import pairwise_pallas
+        pair_fn = pairwise_pallas.match_pair_valid_pallas
+    else:
+        pair_fn = lambda *a: pairwise.match_pair_dense(*a)[1]  # noqa: E731
+
+    @jax.jit
+    def loop(segs_src, mask_src, RtKinv_src, C_src,
+             segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, nb_mask):
+        def body(i, acc):
+            x = segs_src + i.astype(jnp.float32) * 1e-4
+
+            def step(carry, nb):
+                segs_t, mask_t, F, RtKinv_t, C_t = nb
+                valid = pair_fn(x, segs_t, mask_src, mask_t, F,
+                                RtKinv_src, RtKinv_t, C_src, C_t,
+                                0.10, 0.30)
+                return carry + jnp.sum(valid).astype(jnp.float32), None
+
+            acc2, _ = jax.lax.scan(
+                step, acc, (segs_nb, mask_nb & nb_mask[:, None],
+                            F_nb, RtKinv_nb, C_nb))
+            return acc2
+        return jax.lax.fori_loop(0, LOOP_N, body, jnp.float32(0))
+
+    per_iter = _timed_loop(lambda x, *a: loop(x, mask_src, RtKinv_src,
+                                              C_src, *a), segs_src, *nbd)
+    return per_iter, N * S * S
+
+
+def _bench_scoring_kernel_seconds(fixture, m_total=256):
+    """The production scoring step alone at [S, M] production shape."""
+    import jax
+    import jax.numpy as jnp
+    from line3d_tpu.match import pairwise, scoring
+
+    scene, cams, src, nbd, N = fixture
+    segs_src, mask_src, RtKinv_src, C_src = src
+    (segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, nb_mask) = nbd
+    S = scene.max_segments
+
+    # build one real match table (outside the timed loop)
+    res = pairwise.match_view_against_neighbors(
+        segs_src, mask_src, RtKinv_src, C_src,
+        segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, nb_mask, quota=8,
+        min_capacity=m_total)
+    cam, tgt, valid = pairwise.merge_neighbor_tables(res, m_total,
+                                                     segs_nb.shape[1])
+    depths = pairwise.depths_for_matches(
+        segs_src, segs_nb, cam, tgt, valid,
+        F_nb, RtKinv_src, RtKinv_nb, C_src, C_nb)
+    spatial_k = np.float32(
+        cams.spatial_uncertainty_k(2.0 * 3.5)[0])
+
+    @jax.jit
+    def loop(depths, cam, tgt, valid, segs_src, P_nb, segs_nb):
+        def body(i, acc):
+            d = depths + i.astype(jnp.float32) * 1e-5
+            conf = scoring.score_matches_best(
+                segs_src, jnp.ones(S, bool), RtKinv_src, C_src,
+                cam, tgt, d, valid, P_nb, segs_nb,
+                jnp.float32(3.5), jnp.float32(10.0), spatial_k,
+                row_chunk=min(128, S))
+            return acc + conf.sum()
+        return jax.lax.fori_loop(0, LOOP_N, body, jnp.float32(0))
+
+    P_nb = jnp.asarray(cams.f32("P")[np.arange(1, N + 1) % scene.num_views])
+    per_iter = _timed_loop(
+        lambda d, *a: loop(d, *a), depths, cam, tgt, valid, segs_src,
+        P_nb, segs_nb)
+    M = cam.shape[1]
+    return per_iter, S * M * M
+
+
+def _measure_vpu_peak():
+    """Measured VPU FMA peak (flops/s): a VMEM-resident chained-FMA Pallas
+    kernel — R dependent FMA passes over a [512, 1024] f32 block (the
+    block-wide pass gives the scheduler full ILP across vector registers,
+    so the chain is throughput-bound, not latency-bound).  On non-TPU
+    backends (CPU tests) falls back to the same math via jnp."""
+    import jax
+    import jax.numpy as jnp
+    from line3d_tpu.match import pairwise
+
+    R = 256
+    shape = (512, 1024)
+    numel = shape[0] * shape[1]
+
+    if pairwise.use_pallas():
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        def kernel(a_ref, x_ref, o_ref):
+            a = a_ref[0, 0]
+            b = a * 0.5
+
+            def fma(j, v):
+                return v * a + b
+            o_ref[:] = jax.lax.fori_loop(0, R, fma, x_ref[:])
+
+        def one(a, x):
+            return pl.pallas_call(
+                kernel,
+                out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
+                in_specs=[pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+                          pl.BlockSpec(memory_space=pltpu.VMEM)],
+                out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            )(a.reshape(1, 1), x)
+    else:
+        def one(a, x):
+            def fma(j, v):
+                return v * a + a * 0.5
+            return jax.lax.fori_loop(0, R, fma, x)
+
+    OUTER = 64
+
+    @jax.jit
+    def loop(a, x):
+        def body(i, acc):
+            y = one(a + i.astype(jnp.float32) * 1e-7, x)
+            return acc + y[0, 0]
+        return jax.lax.fori_loop(0, OUTER, body, jnp.float32(0))
+
+    x = jnp.full(shape, 0.5, jnp.float32)
+    a = np.float32(1.0000001)
+    per_iter = _timed_loop(lambda aa, xx: loop(aa, xx), a, x,
+                           n_iter=OUTER)
+    return 2.0 * R * numel / per_iter
+
+
+def _run_e2e_scene(cfg, scene, dcams, views):
+    """Cold + 3 perturbed warm runs of the full pipeline on a prebuilt
+    scene; returns (best_ips, best_s, lines, stats_of_best)."""
     import contextlib
-
     from line3d_tpu import Line3D
-    from line3d_tpu.config import L3DConfig
-    from line3d_tpu.utils.demo import make_demo_scene
-
-    # uncapped_fallback off: the demo scene's random segments saturate the
-    # 256-slot cap by construction (mean 233/256 — CLAUDE.md), so the
-    # reference-exactness fallback would re-match every view and measure a
-    # different program.  The bench pins the capped production path; the
-    # drop rate rides along in the JSON (e2e_match_overflow).
-    cfg = L3DConfig(stable_shapes=True, uncapped_fallback=False)
-    scene, dcams = make_demo_scene(num_views=E2E_VIEWS,
-                                   num_random_segments=E2E_SEGMENTS,
-                                   config=cfg)
 
     def run_once(jitter, warm):
         l3d = Line3D(config=cfg)
         if warm:
-            l3d.warmup_async(E2E_VIEWS, cfg.max_num_segments)
+            l3d.warmup_async(views, cfg.max_num_segments)
         for v in range(scene.num_views):
             segs = scene.segments[v][scene.seg_mask[v]] + np.float32(jitter)
             l3d.add_view_segments(
                 v, segs, dcams.K[v], dcams.R[v], dcams.t[v],
                 worldpoint_ids=scene.wp_lists[v], width=1920, height=1440)
         t1 = time.perf_counter()
-        # the overflow warning prints to stdout; keep stdout JSON-only
+        # warnings print to stdout; keep stdout JSON-only
         with contextlib.redirect_stdout(sys.stderr):
             res = l3d.compute_3d_model()
         return time.perf_counter() - t1, len(res), l3d.stats
 
-    run_once(0.0, warm=True)                      # cold: compile + remote load
-    best, lines, overflow = np.inf, 0, 0
+    run_once(0.0, warm=True)              # cold: compile + remote load
+    best, lines, stats = np.inf, 0, {}
     for trial in range(3):
-        dt, nlines, stats = run_once(1e-3 * (trial + 1), warm=False)
-        if dt < best:   # report lines/overflow from the best-time trial
-            best, lines = dt, nlines
-            overflow = int(stats.get("match_overflow", 0))
-    return E2E_VIEWS / best, best, lines, overflow
+        dt, nlines, st = run_once(1e-3 * (trial + 1), warm=False)
+        if dt < best:
+            best, lines, stats = dt, nlines, st
+    return views / best, best, lines, stats
 
 
-def _bench_e2e_exact():
-    """Reference-exact warm e2e on the structured facade scene.
+def _bench_e2e_p25():
+    """Exact + capped warm e2e on the SAME P25 clutter scene.
 
-    The facade's match density is realistic (epipolar physics: long
-    vertical edges collect 50-80 gate-passing candidates per neighbor), so
-    the default caps overflow and the uncapped fallback re-matches every
-    overflowing view at exact capacity — the reported model is provably
-    identical to an unbounded-list run (reference semantics,
-    cudawrapper.cu:923-1007; oracle-equality tests in tests/test_caps.py).
-    residual_overflow in the JSON must be 0.
+    The clutter density saturates the default caps by construction, so the
+    two rows show the full capped-vs-exact cost on one input: the exact
+    row launches at probe-measured capacity (one pass, reference
+    semantics); the capped row disarms the guard (max-throughput ceiling,
+    result-changing drops counted in e2e_capped_overflow).
     """
-    import contextlib
+    from line3d_tpu.config import L3DConfig
+    from line3d_tpu.utils.demo import make_demo_scene
 
-    from line3d_tpu import Line3D
+    cfg_exact = L3DConfig(stable_shapes=True)
+    scene, dcams = make_demo_scene(num_views=E2E_VIEWS,
+                                   num_random_segments=E2E_SEGMENTS,
+                                   config=cfg_exact)
+    ex = _run_e2e_scene(cfg_exact, scene, dcams, E2E_VIEWS)
+
+    cfg_capped = L3DConfig(stable_shapes=True, uncapped_fallback=False)
+    cap = _run_e2e_scene(cfg_capped, scene, dcams, E2E_VIEWS)
+    return ex, cap
+
+
+def _bench_e2e_exact_facade():
+    """Reference-exact warm e2e on the structured facade scene (round-3
+    continuity row; realistic epipolar density)."""
     from line3d_tpu.config import L3DConfig
     from line3d_tpu.utils.demo import make_facade_scene
 
-    cfg = L3DConfig(stable_shapes=True)   # uncapped_fallback defaults on
-    scene, dcams = make_facade_scene(num_views=EXACT_VIEWS, config=cfg)
-
-    def run_once(jitter):
-        l3d = Line3D(config=cfg)
-        for v in range(scene.num_views):
-            segs = scene.segments[v][scene.seg_mask[v]] + np.float32(jitter)
-            l3d.add_view_segments(
-                v, segs, dcams.K[v], dcams.R[v], dcams.t[v],
-                worldpoint_ids=scene.wp_lists[v], width=1920, height=1440)
-        t1 = time.perf_counter()
-        with contextlib.redirect_stdout(sys.stderr):
-            res = l3d.compute_3d_model()
-        return time.perf_counter() - t1, len(res), l3d.stats
-
-    run_once(0.0)                                 # cold: compile + load
-    best, lines, rematched, residual = np.inf, 0, 0, -1
-    for trial in range(3):
-        dt, nlines, stats = run_once(1e-3 * (trial + 1))
-        if dt < best:
-            best, lines = dt, nlines
-            rematched = int(stats.get("views_rematched_uncapped", 0))
-            # the guard repairs every overflowing view, so the result is
-            # exact whenever it ran (or nothing overflowed); a nonzero
-            # residual here means the guard failed
-            overflow = int(stats.get("match_overflow", 0))
-            residual = 0 if (rematched > 0 or overflow == 0) else overflow
-    return EXACT_VIEWS / best, best, lines, rematched, residual
+    cfg = L3DConfig(stable_shapes=True)
+    scene, dcams = make_facade_scene(num_views=E2E_VIEWS, config=cfg)
+    return _run_e2e_scene(cfg, scene, dcams, E2E_VIEWS)
 
 
-def _bench_fallback_cost(cfg):
-    """Cost of rematch_views_exact at PRODUCTION shape (S=3072 bucket,
-    demo-scene density -> exact capacity M=1024), warm, one view."""
-    from line3d_tpu.core.conditioning import compute_conditioning
-    from line3d_tpu.scene import view_similarities_from_worldpoints, \
-        find_visual_neighbors
-    from line3d_tpu.utils.demo import make_demo_scene
-    from line3d_tpu.match import engine
-
-    scene, cams = make_demo_scene(num_views=12,
-                                  num_random_segments=E2E_SEGMENTS,
-                                  config=cfg)
-    tr = compute_conditioning(cams.C)
-    cams.transform(tr.Qinv, tr.scale)
-    sim, _ = view_similarities_from_worldpoints(scene.wp_lists,
-                                                scene.num_views)
-    neighbors = find_visual_neighbors(sim, cams.baselines(),
-                                      cfg.min_baseline, 10)
-    engine.rematch_views_exact(scene, cams, neighbors, cfg, [0])  # cold
-    sc = scene.segments.copy()
-    times = []
-    for trial in range(3):
-        scene.segments[:] = sc + np.float32(1e-3 * (trial + 1))
-        t0 = time.perf_counter()
-        engine.rematch_views_exact(scene, cams, neighbors, cfg, [0])
-        times.append(time.perf_counter() - t0)
-    scene.segments[:] = sc
-    return min(times)
+def _exactness(stats):
+    """(views_rematched, residual_overflow) from a finished run's stats:
+    the guard repairs every overflowing view (or the probe pre-empted the
+    overflow), so a nonzero residual means the exactness machinery
+    failed."""
+    rematched = int(stats.get("views_rematched_uncapped", 0))
+    overflow = int(stats.get("match_overflow", 0))
+    residual = 0 if (rematched > 0 or overflow == 0) else overflow
+    return rematched, residual
 
 
 def main():
@@ -325,35 +451,60 @@ def main():
     from line3d_tpu.config import L3DConfig
     cfg = L3DConfig()
 
-    rate = _bench_pair_rate(cfg)
-    e2e_ips, e2e_s, e2e_lines, e2e_overflow = _bench_e2e()
-    ex_ips, ex_s, ex_lines, ex_rematched, ex_residual = _bench_e2e_exact()
-    fb_view_s = _bench_fallback_cost(cfg)
+    (ex_ips, ex_s, ex_lines, ex_stats), \
+        (cap_ips, cap_s, cap_lines, cap_stats) = _bench_e2e_p25()
+    ex_rematched, ex_residual = _exactness(ex_stats)
+    fa_ips, fa_s, fa_lines, fa_stats = _bench_e2e_exact_facade()
+    fa_rematched, fa_residual = _exactness(fa_stats)
+
+    fixture = _demo_match_fixture(cfg)
+    rate = _bench_pair_rate(fixture)
+    pair_s, pair_elems = _bench_pair_kernel_seconds(fixture)
+    scor_s, scor_elems = _bench_scoring_kernel_seconds(fixture)
+    vpu_peak = _measure_vpu_peak()
+    pair_rfl = (pair_elems * PAIR_FLOPS_PER_PAIR / pair_s) / vpu_peak
+    scor_rfl = (scor_elems * SCORING_FLOPS_PER_ELEM / scor_s) / vpu_peak
 
     watchdog.cancel()
     print(json.dumps({
-        "metric": "line_pair_affinities_per_sec_per_chip",
-        "value": rate,
-        "unit": "pairs/s",
-        # nominal 2015-GPU estimate, NOT a measured CUDA number (the
-        # reference publishes none — BASELINE.md)
-        "vs_baseline": rate / NOMINAL_BASELINE_PAIRS_PER_SEC,
-        "e2e_images_per_sec_p25": e2e_ips,
-        "e2e_warm_seconds_p25": e2e_s,
-        "e2e_num_lines": e2e_lines,
-        "e2e_shape": f"{E2E_VIEWS}x{E2E_SEGMENTS}",
-        "e2e_match_overflow": e2e_overflow,
-        # reference-exact row: realistic-density facade scene, uncapped
-        # fallback armed; residual overflow MUST be 0
-        "e2e_exact_images_per_sec": ex_ips,
-        "e2e_exact_warm_seconds": ex_s,
+        # headline: provably reference-exact model, P25 clutter shape
+        "metric": "e2e_exact_images_per_sec_p25",
+        "value": ex_ips,
+        "unit": "images/s",
+        # nominal 2015-reference estimate, NOT a measured CUDA number (the
+        # reference publishes none — BASELINE.md / bench.py docstring)
+        "vs_baseline": ex_ips / NOMINAL_BASELINE_E2E_IPS,
+        "e2e_exact_warm_seconds_p25": ex_s,
         "e2e_exact_num_lines": ex_lines,
         "e2e_exact_views_rematched": ex_rematched,
         "e2e_exact_residual_overflow": ex_residual,
-        "e2e_exact_shape": f"{EXACT_VIEWS}xfacade",
-        # uncapped-exact rematch cost for ONE view at production shape
-        # (S=3072 bucket, demo density -> M=1024), warm
-        "fallback_seconds_per_view_s3072": fb_view_s,
+        "e2e_exact_probe_m_total": int(ex_stats.get("probe_m_total", 0)),
+        "e2e_exact_probe_quota": int(ex_stats.get("probe_quota", 0)),
+        "e2e_exact_probe_k_export": int(ex_stats.get("probe_k_export", 0)),
+        "e2e_shape": f"{E2E_VIEWS}x{E2E_SEGMENTS}",
+        # SAME scene, caps as a throughput ceiling (guard disarmed)
+        "e2e_capped_images_per_sec_p25": cap_ips,
+        "e2e_capped_warm_seconds_p25": cap_s,
+        "e2e_capped_num_lines": cap_lines,
+        "e2e_capped_overflow": int(cap_stats.get("match_overflow", 0)),
+        # structured-density continuity row (r03's exact scene)
+        "e2e_exact_facade_images_per_sec": fa_ips,
+        "e2e_exact_facade_warm_seconds": fa_s,
+        "e2e_exact_facade_num_lines": fa_lines,
+        "e2e_exact_facade_views_rematched": fa_rematched,
+        "e2e_exact_facade_residual_overflow": fa_residual,
+        # kernel-stage rate (BENCH_r01-r03 headline, kept for continuity)
+        "pair_affinities_per_sec_per_chip": rate,
+        "pair_vs_nominal_cuda": rate / NOMINAL_BASELINE_PAIRS_PER_SEC,
+        # measured rooflines (BASELINE.md "speed-of-light per chip"):
+        # useful-math flops from the XLA twins' cost model
+        # (scripts/roofline_flops.py) over measured kernel seconds,
+        # against the measured VPU FMA peak of this chip
+        "pair_kernel_roofline_pct": 100.0 * pair_rfl,
+        "scoring_kernel_roofline_pct": 100.0 * scor_rfl,
+        "pair_kernel_seconds": pair_s,
+        "scoring_kernel_seconds": scor_s,
+        "vpu_fma_peak_flops_per_sec": vpu_peak,
     }))
 
 

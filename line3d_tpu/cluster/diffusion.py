@@ -13,8 +13,11 @@ Two modes (config.diffusion_mode):
   reference computes, so it is reproduced exactly for output parity.
 
 * "true" — the published update P' = P^T ∘ (P·W) restricted to the sparsity
-  pattern, with row normalization (a proper sparse SpMM via scipy on host; a
-  distributed segment-sum formulation lives in parallel/ for large scenes).
+  pattern, with row normalization.  Host backend: a proper sparse SpMM via
+  scipy (float64, the semantic reference).  Device backend: a merge-walk
+  sparse dot over the same sorted-COO plan as reference mode
+  (diffusion_device._diffuse_true_kernel), edge-shardable over the mesh —
+  the published update scales exactly like the lockstep one.
 
 After the iterations the matrix is min-symmetrized (performDiffusion,
 line3D.cc:1264-1299) and the edge list is returned in ascending (i, j) order,
@@ -146,10 +149,12 @@ def resolve_backend(config: L3DConfig) -> str:
 def run_diffusion(graph, config: L3DConfig, verbose: bool = False,
                   mesh=None):
     """Diffuse a cluster.AffinityGraph in place; returns a new edge list."""
-    if resolve_backend(config) == "device" \
-            and config.diffusion_mode == "reference":
-        from .diffusion_device import diffuse_reference_device
-        fn = lambda *a: diffuse_reference_device(*a, mesh=mesh)  # noqa: E731
+    if resolve_backend(config) == "device":
+        from .diffusion_device import diffuse_reference_device, \
+            diffuse_true_device
+        dev = diffuse_reference_device \
+            if config.diffusion_mode == "reference" else diffuse_true_device
+        fn = lambda *a: dev(*a, mesh=mesh)  # noqa: E731
     else:
         fn = diffuse_reference if config.diffusion_mode == "reference" \
             else diffuse_true

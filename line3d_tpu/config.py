@@ -70,8 +70,9 @@ class L3DConfig:
     # K_sparseMat_diffusion_step (cudawrapper.cu:765-829); "true" computes the
     # published replicator-dynamics update P ∘ (P·W) restricted to the pattern.
     diffusion_mode: str = "reference"
-    # "host" runs diffusion in numpy (float64); "device" runs the
-    # reference-mode lockstep iterations as one jitted fori_loop on TPU
+    # "host" runs diffusion in numpy/scipy (float64); "device" runs the
+    # iterations (either mode: the reference lockstep walk or the true
+    # merge-walk sparse product) as one jitted fori_loop on TPU
     # (float32, shardable along the edge axis — cluster/diffusion_device.py).
     # "auto" (default) picks "device" when a TPU backend is present and
     # "host" otherwise (CPU runs/tests keep the f64 reference path; the
@@ -87,6 +88,15 @@ class L3DConfig:
     # (fit/refine.py, the 100k+-cluster scale path); "auto" picks "device"
     # on a TPU backend, "host" otherwise (same rule as diffusion_backend)
     refine_backend: str = "auto"
+
+    # --- joint camera + line bundle adjustment (additive: the BASELINE
+    # north star's "Schur-complement reduction over ICI"; fit/bundle.py).
+    # Refines camera poses AND cluster lines jointly (intrinsics fixed);
+    # the refined poses land in Line3D.refined_poses and the reported
+    # lines are snapped to the jointly refined geometry.  Implies the
+    # refine stage. ---
+    bundle_adjust_cameras: bool = False
+    bundle_iterations: int = 5
 
     # --- clustering (commons.h:64, line3D.cc:1245,1334) ---
     min_affinity: float = 0.25           # L3D_MIN_AFFINITY (direct edges)
@@ -119,6 +129,19 @@ class L3DConfig:
     # with it off, overflow is only warned about — the capped result is
     # the production path at maximum throughput.
     uncapped_fallback: bool = True
+    # One-pass exact matching (used when uncapped_fallback is on and the
+    # sharded engine runs): a cheap chunked device probe (the pair gates
+    # only, ~1/3 of the per-view match step) measures every view's exact
+    # gate-passing capacity BEFORE the mainline dispatch, and the single
+    # mainline pass launches at the pow2-bucketed exact capacity — so
+    # reference-exact results never pay a wasted capped pass + rematch
+    # (the round-3 fallback path re-matched EVERY view at realistic
+    # density).  The fallback above remains armed as the guard for
+    # mispredictions (structurally impossible — the probe runs the same
+    # pair kernel on the same inputs — but unconditional exactness must
+    # not rest on that argument).  Costs one extra short device program on
+    # scenes whose density fits the default caps anyway.
+    capacity_probe: bool = True
     # Segment-count padding granularity (TPU lane width).
     pad_multiple: int = 128
     # View-count padding granularity for the batched/sharded engine.

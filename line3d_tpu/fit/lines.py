@@ -124,7 +124,8 @@ def process_clusters(graph: AffinityGraph, labels: np.ndarray,
                      verbose: bool = False, refine: bool = False,
                      scene_segments: np.ndarray | None = None,
                      P_cond: np.ndarray | None = None,
-                     mesh=None) -> list:
+                     mesh=None, cameras=None,
+                     out_info: dict | None = None) -> list:
     """Turn cluster labels into FinalLine3D results.
 
     With refine=True (an additive capability beyond the reference), each
@@ -149,13 +150,15 @@ def process_clusters(graph: AffinityGraph, labels: np.ndarray,
                                          verbose)
     return _process_clusters_loop(graph, labels, best, transform, config,
                                   max_segments, verbose, refine,
-                                  scene_segments, P_cond, mesh=mesh)
+                                  scene_segments, P_cond, mesh=mesh,
+                                  cameras=cameras, out_info=out_info)
 
 
 def _process_clusters_loop(graph, labels, best, transform, config,
                            max_segments, verbose=False, refine=False,
                            scene_segments=None, P_cond=None,
-                           mesh=None) -> list:
+                           mesh=None, cameras=None,
+                           out_info: dict | None = None) -> list:
     """Per-cluster loop (processClusteredSegments, line3D.cc:1306-1368)."""
 
     # best-match row per node
@@ -198,20 +201,41 @@ def _process_clusters_loop(graph, labels, best, transform, config,
             ds.append(dv)
             mviews.append(views)
             msegs.append(graph.node_seg[nodes])
-        Pm, p1, p2, mask = refine_mod.build_cluster_member_data(
-            mviews, msegs, scene_segments, P_cond)
-        kw = {}
-        refine_fn = refine_mod.refine_lines
-        if refine_mod.resolve_backend(config) == "device":
-            refine_fn = refine_mod.refine_lines_device
-            if mesh is not None:
-                kw["mesh"] = mesh   # shard the cluster axis over the mesh
-        P0r, dr, rms_b, rms_a = refine_fn(
-            np.stack(P0s), np.stack(ds), Pm, p1, p2, mask,
-            iterations=config.refine_iterations, **kw)
-        if verbose:
-            print(f"[L3D] refinement: median rms {np.median(rms_b):.3f} -> "
-                  f"{np.median(rms_a):.3f} px over {len(kept)} lines")
+        if getattr(config, "bundle_adjust_cameras", False) \
+                and cameras is not None:
+            # joint camera + line BA (fit/bundle.py): line blocks Schur-
+            # eliminated, the reduced camera system psum'd over the mesh
+            from . import bundle as bundle_mod
+            vb, p1b, p2b, mb = bundle_mod.build_bundle_member_data(
+                mviews, msegs, scene_segments)
+            P0r, dr, Rf, tf, ba_b, ba_a = bundle_mod.bundle_adjust(
+                np.stack(P0s), np.stack(ds),
+                cameras.K, cameras.R, cameras.t, vb, p1b, p2b, mb,
+                iterations=config.bundle_iterations, mesh=mesh)
+            if out_info is not None:
+                out_info.update(ba_rms_before=float(ba_b),
+                                ba_rms_after=float(ba_a),
+                                R_cond=Rf, t_cond=tf)
+            if verbose:
+                print(f"[L3D] bundle adjustment: rms {ba_b:.3f} -> "
+                      f"{ba_a:.3f} px over {len(kept)} lines + "
+                      f"{len(cameras.K)} cameras")
+        else:
+            Pm, p1, p2, mask = refine_mod.build_cluster_member_data(
+                mviews, msegs, scene_segments, P_cond)
+            kw = {}
+            refine_fn = refine_mod.refine_lines
+            if refine_mod.resolve_backend(config) == "device":
+                refine_fn = refine_mod.refine_lines_device
+                if mesh is not None:
+                    kw["mesh"] = mesh   # shard the cluster axis
+            P0r, dr, rms_b, rms_a = refine_fn(
+                np.stack(P0s), np.stack(ds), Pm, p1, p2, mask,
+                iterations=config.refine_iterations, **kw)
+            if verbose:
+                print(f"[L3D] refinement: median rms "
+                      f"{np.median(rms_b):.3f} -> "
+                      f"{np.median(rms_a):.3f} px over {len(kept)} lines")
         # map refined lines back to the original frame:
         # X = R^T (X'/s - t) => point maps through inverse_transform, and
         # directions map as R^T d (scale cancels under normalization)

@@ -520,7 +520,8 @@ def rematch_views_exact_sharded(scene: Scene, cameras: CameraSet,
     bufs, mctx = dispatch_matching_sharded(
         scene, cameras, neighbors, config, mesh=mesh,
         m_total_override=m_total, quota_override=128,
-        k_export_override=k_export, active_views=views)
+        k_export_override=k_export, active_views=views,
+        defer_export=True)
     matches, best_sub, med = finalize_matching_sharded(
         bufs, mctx, scene, cameras, config, verbose=verbose,
         only_views=views)
@@ -612,46 +613,24 @@ def apply_uncapped_fallback(matches, best, median_depths,
     return matches, _concat_best(rows), median_depths, len(over)
 
 
-def dispatch_matching_sharded(scene: Scene, cameras: CameraSet,
-                              neighbors: list, config: L3DConfig,
-                              mesh=None, k_export_per_seg: int = 8,
-                              warm_only: bool = False,
-                              m_total_override: int | None = None,
-                              quota_override: int | None = None,
-                              k_export_override: int | None = None,
-                              active_views=None):
-    """Launch the whole-scene matching WITHOUT blocking.
-
-    Returns (bufs, ctx) where bufs is a list of lazy packed [Vc, D] device
-    arrays (one per view chunk, concatenating to [Vp, D]) and ctx carries
-    what finalize_matching_sharded needs to decode them, or (None, None)
-    when there is nothing to match.  Keeping dispatch separate from
-    readback lets the pipeline overlap this program's remote compile /
-    execution with other device programs and host work.
-
-    The view axis is dispatched in chunks of lcm(mesh size,
-    view_pad_multiple) views (one executable, many executions) rather than
-    one whole-scene program, for two reasons:
-      * each chunk's device->host copy (queued here) overlaps the next
-        chunk's execution, so only the LAST chunk's readback sits on the
-        critical path (~0.15 s/scene saved at the P25 shape; the packed
-        buffer is ~180 KB/view against a ~40 MB/s tunnel readback path);
-      * every scene size shares the same chunk-shaped executable, so one
-        warmup covers all scenes and growing a scene never recompiles
-        (the TPU service charges 40-160 s per NEW scene-scale executable).
-
-    warm_only=True marks every view inactive: the dispatched program is the
-    SAME executable (view_active is a runtime input) so it forces the
-    compile/load, but every per-view lax.cond takes the dead branch and
-    execution costs ~ms instead of the full scene (~1.4 s at 25 views).
-    """
+def prepare_sharded_matching(scene: Scene, cameras: CameraSet,
+                             neighbors: list, config: L3DConfig,
+                             mesh=None, warm_only: bool = False,
+                             active_views=None):
+    """Host-side assembly shared by the capacity probe and the matching
+    dispatch: mesh/view-axis bucketing, the per-view metadata stacks, and
+    the (single) upload of the replicated segment tensor.  Returns a prep
+    dict, or None when there is nothing to match.  Sharing the prep lets
+    the one-pass exact flow (dispatch_capacity_probe → decide →
+    dispatch_matching_sharded) build the stacks and cross the host→device
+    link once, not per program."""
     from ..parallel import mesh as mesh_mod, sharded
 
     V = scene.num_views
     S = scene.max_segments
     n_max = max((len(n) for n in neighbors), default=0)
     if n_max == 0:
-        return None, None
+        return None
 
     if mesh is None:
         mesh = mesh_mod.make_view_mesh()
@@ -707,11 +686,6 @@ def dispatch_matching_sharded(scene: Scene, cameras: CameraSet,
         segments = jax.device_put(segments, repl)
         seg_mask = jax.device_put(seg_mask, repl)
 
-    m_total = m_total_override or \
-        min(config.max_matches_per_segment, n_max * S)
-    m_total = min(m_total, n_max * S)
-    k_export = k_export_override or S * k_export_per_seg
-    k_export = min(k_export, S * m_total)
     # trailing all-padding chunks (pow2 bucketing can add several) are
     # skipped on the host — finalize only reads rows of views with
     # neighbors, all of which precede last_active.  Chunk 0 is always
@@ -721,31 +695,175 @@ def dispatch_matching_sharded(scene: Scene, cameras: CameraSet,
     else:
         act = np.flatnonzero(np.asarray(stacks["view_active"]))
         last_active = int(act[-1]) if act.size else 0
+    return dict(mesh=mesh, axis=axis, Vp=Vp, chunk=chunk, multi=multi,
+                segments=segments, seg_mask=seg_mask, stacks=stacks,
+                nb_ids=nb_ids, last_active=last_active, n_max=n_max, S=S,
+                neighbors=neighbors)
+
+
+def _dispatch_chunks(prep, launch):
+    """Run `launch(stacks_chunk) -> lazy device array (or tuple)` over the
+    prepared view chunks, queueing each chunk's readback so it overlaps
+    the next chunk's execution; returns the list of lazy buffers.
+
+    When launch returns a tuple, only its FIRST element is queued for
+    readback — trailing elements stay device-resident (the deferred
+    export plane, sliced to actual size later)."""
+    from ..parallel import multihost
+
+    stacks, chunk, Vp = prep["stacks"], prep["chunk"], prep["Vp"]
     bufs = []
     for c0 in range(0, Vp, chunk):
-        if c0 > last_active:
+        if c0 > prep["last_active"]:
             break
         stacks_c = stacks if chunk == Vp else \
             {k: v[c0:c0 + chunk] for k, v in stacks.items()}
-        buf = sharded.sharded_match_all_views(
-            segments, seg_mask, stacks_c,
-            np.float32(config.sigma_p), np.float32(config.sigma_a),
-            np.float32(config.confidence_threshold),
-            quota=quota_override or config.match_block_quota,
-            m_total=m_total,
-            row_chunk=min(128, S),
-            k_export=k_export,
-            support_t=float(config.support_threshold),
-            mesh=mesh, packed=True)
-        if multi:
-            from ..parallel import multihost
-            buf = multihost.replicate(mesh, buf)
+        buf = launch(stacks_c)
+        if prep["multi"]:
+            buf = multihost.replicate(prep["mesh"], buf)
         # queue the readback now: it starts the moment this chunk's
         # program retires, overlapping the remaining chunks' execution
-        if hasattr(buf, "copy_to_host_async"):
-            buf.copy_to_host_async()
+        head = buf[0] if isinstance(buf, tuple) else buf
+        if hasattr(head, "copy_to_host_async"):
+            head.copy_to_host_async()
         bufs.append(buf)
-    ctx = dict(nb_ids=nb_ids, S=S, k_export=k_export, neighbors=neighbors)
+    return bufs
+
+
+def dispatch_capacity_probe(prep):
+    """Launch the chunked capacity-probe program (pair gates only, [Vc, 3]
+    int32 per chunk — sharded.sharded_probe_all_views) WITHOUT blocking.
+    Returns the list of lazy chunk buffers."""
+    from ..parallel import sharded
+
+    return _dispatch_chunks(prep, lambda stacks_c:
+                            sharded.sharded_probe_all_views(
+                                prep["segments"], prep["seg_mask"],
+                                stacks_c, mesh=prep["mesh"]))
+
+
+def finalize_capacity_probe(bufs):
+    """Read back the probe chunks → (need [Vp], total [Vp], blockmax [Vp])
+    int64 per view (zeros in padded/inactive rows)."""
+    res = np.concatenate([np.asarray(b) for b in bufs]).astype(np.int64)
+    return res[:, 0], res[:, 1], res[:, 2]
+
+
+def decide_exact_capacities(need, total, blockmax, config: L3DConfig,
+                            n_max: int, S: int,
+                            k_export_per_seg: int = 8):
+    """Pick the single-pass launch capacities from probe counters.
+
+    Returns None when the DEFAULT capacities are already exact for every
+    view (the default executable — typically pre-compiled by
+    warmup_async — is reused), else a dict of overrides bucketed for
+    executable reuse: m_total to the next power of two, the block quota to
+    {default, 32, 128} (coarse buckets: every new (quota, m_total,
+    k_export) combination is a fresh 40-160 s first-execution remote
+    compile through the TPU tunnel), and k_export to the next power of two
+    of the strict gate-passing bound (verified ⊆ gate-passing, so the
+    packed export can never drop and the fallback guard never fires).
+    """
+    need_max = int(np.max(need, initial=0))
+    total_max = int(np.max(total, initial=0))
+    bmax = int(np.max(blockmax, initial=0))
+
+    quota0 = config.match_block_quota
+    m0 = min(config.max_matches_per_segment, n_max * S)
+    k0 = min(S * k_export_per_seg, S * m0)
+    if need_max <= m0 and bmax <= quota0 and total_max <= k0:
+        return None
+
+    quota = quota0
+    for q in (quota0, 32, 128):
+        if q >= bmax:
+            quota = q
+            break
+    else:
+        quota = 128
+    m_total = 1 << max(int(np.ceil(np.log2(max(need_max, 1)))), 0)
+    m_total = min(max(m_total, m0), n_max * S)
+    k_export = 1 << max(int(np.ceil(np.log2(max(total_max, 1)))), 0)
+    k_export = min(max(k_export, k0), S * m_total)
+    return dict(quota=quota, m_total=m_total, k_export=k_export,
+                need=need_max, total=total_max, blockmax=bmax)
+
+
+def dispatch_matching_sharded(scene: Scene, cameras: CameraSet,
+                              neighbors: list, config: L3DConfig,
+                              mesh=None, k_export_per_seg: int = 8,
+                              warm_only: bool = False,
+                              m_total_override: int | None = None,
+                              quota_override: int | None = None,
+                              k_export_override: int | None = None,
+                              active_views=None, prepared=None,
+                              defer_export: bool = False):
+    """Launch the whole-scene matching WITHOUT blocking.
+
+    Returns (bufs, ctx) where bufs is a list of lazy packed [Vc, D] device
+    arrays (one per view chunk, concatenating to [Vp, D]) and ctx carries
+    what finalize_matching_sharded needs to decode them, or (None, None)
+    when there is nothing to match.  Keeping dispatch separate from
+    readback lets the pipeline overlap this program's remote compile /
+    execution with other device programs and host work.
+
+    The view axis is dispatched in chunks of lcm(mesh size,
+    view_pad_multiple) views (one executable, many executions) rather than
+    one whole-scene program, for two reasons:
+      * each chunk's device->host copy (queued here) overlaps the next
+        chunk's execution, so only the LAST chunk's readback sits on the
+        critical path (~0.15 s/scene saved at the P25 shape; the packed
+        buffer is ~180 KB/view against a ~40 MB/s tunnel readback path);
+      * every scene size shares the same chunk-shaped executable, so one
+        warmup covers all scenes and growing a scene never recompiles
+        (the TPU service charges 40-160 s per NEW scene-scale executable).
+
+    warm_only=True marks every view inactive: the dispatched program is the
+    SAME executable (view_active is a runtime input) so it forces the
+    compile/load, but every per-view lax.cond takes the dead branch and
+    execution costs ~ms instead of the full scene (~1.4 s at 25 views).
+
+    `prepared` reuses a prepare_sharded_matching prep (the one-pass exact
+    flow shares it with the capacity probe so stacks build and the segment
+    upload happen once).
+    """
+    from ..parallel import sharded
+
+    prep = prepared if prepared is not None else prepare_sharded_matching(
+        scene, cameras, neighbors, config, mesh=mesh, warm_only=warm_only,
+        active_views=active_views)
+    if prep is None:
+        return None, None
+    n_max, S = prep["n_max"], prep["S"]
+
+    m_total = m_total_override or \
+        min(config.max_matches_per_segment, n_max * S)
+    m_total = min(m_total, n_max * S)
+    k_export = k_export_override or S * k_export_per_seg
+    k_export = min(k_export, S * m_total)
+    # deferred export: the [Vc, k_export] identity plane stays
+    # device-resident; finalize slices it to the ACTUAL max verified count
+    # before transfer.  Worth a dispatch round-trip only when the bound is
+    # large (the exact path's strict gate-passing bound is ~4-8x the
+    # verified count); multi-host keeps the single-shot path (the
+    # replicate/globalize round trips would serialize on DCN).
+    defer = bool(defer_export) and not prep["multi"]
+    bufs = _dispatch_chunks(prep, lambda stacks_c:
+                            sharded.sharded_match_all_views(
+                                prep["segments"], prep["seg_mask"], stacks_c,
+                                np.float32(config.sigma_p),
+                                np.float32(config.sigma_a),
+                                np.float32(config.confidence_threshold),
+                                quota=quota_override or
+                                config.match_block_quota,
+                                m_total=m_total,
+                                row_chunk=min(128, S),
+                                k_export=k_export,
+                                support_t=float(config.support_threshold),
+                                mesh=prep["mesh"], packed=True,
+                                defer_export=defer))
+    ctx = dict(nb_ids=prep["nb_ids"], S=S, k_export=k_export,
+               neighbors=neighbors, defer_export=defer)
     return bufs, ctx
 
 
@@ -782,9 +900,17 @@ def warmup_matching_sharded(num_views: int, max_segments: int,
         else V - 1
     n_nb = min(n_nb, V - 1)
     neighbors = [[(v + 1 + i) % V for i in range(n_nb)] for v in range(V)]
-    buf, _ = dispatch_matching_sharded(scene, cams, neighbors, config,
-                                       mesh=mesh, warm_only=True)
-    return buf
+    prep = prepare_sharded_matching(scene, cams, neighbors, config,
+                                    mesh=mesh, warm_only=True)
+    bufs = []
+    if prep is not None and config.uncapped_fallback and \
+            config.capacity_probe:
+        # the one-pass exact flow runs the probe program first — warm it
+        # with the same dead-branch trick
+        bufs += dispatch_capacity_probe(prep)
+    b, _ = dispatch_matching_sharded(scene, cams, neighbors, config,
+                                     mesh=mesh, prepared=prep)
+    return bufs + (b or [])
 
 
 def finalize_matching_sharded(bufs, ctx, scene: Scene, cameras: CameraSet,
@@ -803,10 +929,29 @@ def finalize_matching_sharded(bufs, ctx, scene: Scene, cameras: CameraSet,
         return [], _empty_best(), np.ones(V)
     S, k_export = ctx["S"], ctx["k_export"]
     neighbors, nb_ids = ctx["neighbors"], ctx["nb_ids"]
-    chunks = [np.asarray(b) for b in bufs]   # chunk order = retire order
-    out = sharded.unpack_view_outputs(
-        chunks[0] if len(chunks) == 1 else np.concatenate(chunks),
-        S, k_export)
+    if ctx.get("defer_export"):
+        # two-step readback: the small rows first (they carry n_verified),
+        # then the device-resident export planes sliced to the actual
+        # pow2-bucketed max verified count — the exact path's strict
+        # gate-passing bound would otherwise ship 4-8x the real data over
+        # the ~20-40 MB/s tunnel link
+        rows = [np.asarray(b[0]) for b in bufs]
+        rows = rows[0] if len(rows) == 1 else np.concatenate(rows)
+        nver = rows.view(np.int32)[:, -4]   # n_verified column
+        k_act = 1 << max(int(np.ceil(np.log2(max(int(nver.max()), 1)))), 6)
+        k_act = min(k_act, k_export)
+        slices = [sharded.slice_export(b[1], k_act) for b in bufs]
+        for s in slices:
+            if hasattr(s, "copy_to_host_async"):
+                s.copy_to_host_async()
+        exp = np.concatenate([np.asarray(s) for s in slices]) \
+            if len(slices) > 1 else np.asarray(slices[0])
+        out = sharded.unpack_view_outputs(rows, S, k_act, exp_packed=exp)
+    else:
+        chunks = [np.asarray(b) for b in bufs]  # chunk order = retire order
+        out = sharded.unpack_view_outputs(
+            chunks[0] if len(chunks) == 1 else np.concatenate(chunks),
+            S, k_export)
 
     all_matches = []
     best_rows = []

@@ -168,15 +168,19 @@ def device_select(cam, tgt, depths, valid, conf, conf_t, k_export,
                 export_drop=jnp.maximum(n_verified - k_export, 0))
 
 
-def _pack_view_outputs(o, k_export):
+def _pack_view_outputs(o, k_export, defer_export=False):
     """Concat one view's outputs into a single f32 row (int32 planes ride
     as bitcasts).  Every device->host transfer through the tunnel pays
     ~28 ms of fixed overhead, so the engine ships ONE [Vp, D] array instead
-    of the 10-array dict (~0.3 s/scene of pure per-transfer overhead)."""
+    of the 10-array dict (~0.3 s/scene of pure per-transfer overhead).
+
+    With defer_export the packed-export plane is returned SEPARATELY (it
+    stays device-resident; the engine later slices it to the actual
+    verified size before transfer — see finalize_matching_sharded)."""
     f32 = jnp.float32
     bc = lambda a: jax.lax.bitcast_convert_type(a.astype(jnp.int32), f32)
-    return jnp.concatenate([
-        bc(o["exp_packed"]),                      # [k_export] i32
+    row = jnp.concatenate([
+        *([] if defer_export else [bc(o["exp_packed"])]),  # [k_export] i32
         bc(o["best_cam"]), bc(o["best_tgt"]),     # [S] i32 each
         bc(o["best_has"]),                        # [S] i32 (0/1)
         o["best_conf"],                           # [S] f32
@@ -185,11 +189,18 @@ def _pack_view_outputs(o, k_export):
         bc(o["n_verified"][None]), bc(o["overflow"][None]),
         bc(o["need_capacity"][None]), bc(o["total_candidates"][None]),
     ])
+    if defer_export:
+        return row, o["exp_packed"]
+    return row
 
 
-def unpack_view_outputs(buf: np.ndarray, S: int, k_export: int):
+def unpack_view_outputs(buf: np.ndarray, S: int, k_export: int,
+                        exp_packed: np.ndarray | None = None):
     """Host-side inverse of _pack_view_outputs: [Vp, D] f32 -> dict with
-    the same keys/dtypes sharded_match_all_views(packed=False) returns."""
+    the same keys/dtypes sharded_match_all_views(packed=False) returns.
+    `exp_packed` supplies the deferred-export plane when the row buffer
+    was packed with defer_export (k_export then describes that plane's
+    width, not a slice of `buf`)."""
     i32 = buf.view(np.int32)
     c = [0]
 
@@ -198,7 +209,8 @@ def unpack_view_outputs(buf: np.ndarray, S: int, k_export: int):
         c[0] += n
         return a
 
-    out = dict(exp_packed=take(i32, k_export),
+    out = dict(exp_packed=exp_packed if exp_packed is not None
+               else take(i32, k_export),
                best_cam=take(i32, S), best_tgt=take(i32, S),
                best_has=take(i32, S).astype(bool),
                best_conf=take(buf, S))
@@ -218,12 +230,13 @@ def unpack_view_outputs(buf: np.ndarray, S: int, k_export: int):
 @functools.partial(jax.jit,
                    static_argnames=("quota", "m_total", "row_chunk",
                                     "k_export", "mesh", "axis", "packed",
-                                    "support_t"))
+                                    "support_t", "defer_export"))
 def sharded_match_all_views(segments, seg_mask, stacks,
                             sigma_p, sigma_a, conf_t,
                             quota, m_total, row_chunk, k_export,
                             mesh, axis="views", packed=False,
-                            support_t: float = 0.5):
+                            support_t: float = 0.5,
+                            defer_export: bool = False):
     """Match every view against its neighbors, sharded over `mesh`.
 
     segments [V, S, 4] / seg_mask [V, S] are replicated; `stacks` is a dict
@@ -257,7 +270,8 @@ def sharded_match_all_views(segments, seg_mask, stacks,
                                       conf_t, sigma_p, sigma_a, k_export,
                                       support_t=support_t)
                 if packed:
-                    return _pack_view_outputs(o, k_export)
+                    return _pack_view_outputs(o, k_export,
+                                              defer_export=defer_export)
                 return o
 
             # inactive views (padding slots and views without visual
@@ -283,6 +297,97 @@ def sharded_match_all_views(segments, seg_mask, stacks,
                    in_specs=(P(), P(), stack_specs, P(), P(), P()),
                    out_specs=out_specs, check_vma=False)
     return fn(segments, seg_mask, stacks, sigma_p, sigma_a, conf_t)
+
+
+def _single_view_probe(segments, seg_mask, args):
+    """Capacity probe for one view: the pair gates only (the cheap ~1/3 of
+    the per-view match step — no compaction, merge, depth or scoring work),
+    reduced on device to the three counters the one-pass exact launch
+    needs.  Returns [3] int32: (need, total, blockmax) where
+      need     = max over src segments of the cross-neighbor gate-passing
+                 count — the exact uncapped per-segment merge capacity
+                 (the reference's unbounded list length,
+                 cudawrapper.cu:923-944),
+      total    = sum of gate-passing counts — a strict upper bound on the
+                 view's verified-match export size,
+      blockmax = max per-(src segment, 128-target-lane block) count — the
+                 exact per-block compaction quota (compact_rows_blockq).
+    """
+    (view_idx, RtKinv_src, C_src,
+     nb_ids, F_nb, RtKinv_nb, C_nb, nb_mask, view_active) = args
+
+    segs_src = segments[view_idx]
+    mask_src = seg_mask[view_idx] & view_active
+    nb_clip = jnp.maximum(nb_ids, 0)
+    segs_nb = segments[nb_clip]
+    mask_nb = seg_mask[nb_clip] & (nb_ids >= 0)[:, None]
+
+    if pairwise.use_pallas():
+        from ..match import pairwise_pallas
+        pair_fn = pairwise_pallas.match_pair_valid_pallas
+    else:
+        pair_fn = lambda *a: pairwise.match_pair_dense(*a)[1]  # noqa: E731
+
+    S = segs_src.shape[0]
+    St = segs_nb.shape[1]
+    blk = 128                     # same block size rule as compact_rows_blockq
+    while St % blk:
+        blk //= 2
+    B = St // blk
+
+    def step(carry, nb):
+        n_acc, bmax = carry
+        segs_t, mask_t, F, RtKinv_t, C_t = nb
+        valid = pair_fn(segs_src, segs_t, mask_src, mask_t,
+                        F, RtKinv_src, RtKinv_t, C_src, C_t, 0.10, 0.30)
+        n_acc = n_acc + jnp.sum(valid, axis=1).astype(jnp.int32)
+        bcnt = jnp.sum(valid.reshape(S, B, blk), axis=2)
+        bmax = jnp.maximum(bmax, jnp.max(bcnt).astype(jnp.int32))
+        return (n_acc, bmax), None
+
+    (n_raw, bmax), _ = jax.lax.scan(
+        step, (jnp.zeros(S, jnp.int32), jnp.int32(0)),
+        (segs_nb, mask_nb & nb_mask[:, None], F_nb, RtKinv_nb, C_nb))
+    return jnp.stack([jnp.max(n_raw), jnp.sum(n_raw), bmax])
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "axis"))
+def sharded_probe_all_views(segments, seg_mask, stacks, mesh, axis="views"):
+    """Chunked/sharded capacity probe: [Vc, 3] int32 per chunk (see
+    _single_view_probe).  Same shard_map/lax.map structure as
+    sharded_match_all_views — each device probes only its own view shard
+    against the replicated segment tensor, zero communication; inactive
+    (padding) views take the dead branch and contribute zeros."""
+    from jax import shard_map
+
+    spec_of = lambda v: P(axis, *([None] * (v.ndim - 1)))
+    stack_specs = {k: spec_of(v) for k, v in stacks.items()}
+
+    def local_views(segments, seg_mask, stacks_l):
+        def per_view(args):
+            ordered = (args["view_idx"], args["RtKinv"], args["C"],
+                       args["nb_ids"], args["F_nb"], args["RtKinv_nb"],
+                       args["C_nb"], args["nb_mask"], args["view_active"])
+            return jax.lax.cond(
+                args["view_active"],
+                lambda _: _single_view_probe(segments, seg_mask, ordered),
+                lambda _: jnp.zeros(3, jnp.int32), 0)
+
+        return jax.lax.map(per_view, stacks_l)
+
+    fn = shard_map(local_views, mesh=mesh,
+                   in_specs=(P(), P(), stack_specs),
+                   out_specs=P(axis, None), check_vma=False)
+    return fn(segments, seg_mask, stacks)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def slice_export(exp, k: int):
+    """Slice a device-resident deferred-export plane [Vc, K] to [Vc, k]
+    before transfer (valid entries are packed to the front by the top_k in
+    device_select, so any k >= the max per-view verified count is
+    lossless)."""
+    return exp[:, :k]
 
 
 def build_stacks(scene: Scene, cameras: CameraSet, neighbors: list,

@@ -64,6 +64,10 @@ class Line3D:
         self.cameras: CameraSet | None = None
         self.transform: SceneTransform | None = None
         self.result: list = []
+        # original-frame (unconditioned) camera poses refined by the joint
+        # bundle adjustment (config.bundle_adjust_cameras): ([V,3,3] R,
+        # [V,3] t), or None when BA did not run
+        self.refined_poses = None
         self.neighbors = None
         self.stats = {}
         self._warmup_refs = []
@@ -371,6 +375,33 @@ class Line3D:
         # path instead of hiding inside match execution).
         import jax
 
+        # one-pass exact matching: with the guard armed, a cheap device
+        # probe measures every view's exact gate-passing capacity and the
+        # single mainline pass launches at the pow2-bucketed exact
+        # capacity — no wasted capped pass + rematch at realistic density
+        # (the pre-probe flow re-matched EVERY overflowing view).  The
+        # probe must be read back before the matching dispatch, so it is
+        # dispatched FIRST (before collinearity) and stage 1+2 host work
+        # moves ahead of both dispatches.
+        use_probe = (self.use_sharded_engine and cfg.uncapped_fallback
+                     and cfg.capacity_probe)
+        probe_bufs, prep, decision = None, None, None
+        tg0 = time.time()
+        if use_probe:
+            # stage 1: visual neighbors (line3D.cc:361) — host, cheap
+            sim = self._view_similarities()
+            self.neighbors = find_visual_neighbors(
+                sim, cams.baselines(), cfg.min_baseline,
+                cfg.matching_neighbors, cfg.eps, ext_ids=self._images)
+            # stage 2: scene conditioning (line3D.cc:364) — host, cheap
+            self.transform = compute_conditioning(cams.C)
+            cams.transform(self.transform.Qinv, self.transform.scale)
+            prep = engine.prepare_sharded_matching(
+                scene, cams, self.neighbors, cfg)
+            if prep is not None:
+                probe_bufs = engine.dispatch_capacity_probe(prep)
+        t_graph = time.time() - tg0
+
         coll_chunks = None
         if self.use_sharded_engine and cfg.use_collinearity:
             from .parallel import mesh as mesh_mod
@@ -386,17 +417,18 @@ class Line3D:
                 pairs_per_seg=cfg.collinearity_pairs_per_seg,
                 aff_threshold=cfg.collinearity_aff_threshold)
 
-        # stage 1: visual neighbors (line3D.cc:361) — host, cheap
-        tg0 = time.time()
-        sim = self._view_similarities()
-        self.neighbors = find_visual_neighbors(
-            sim, cams.baselines(), cfg.min_baseline, cfg.matching_neighbors,
-            cfg.eps, ext_ids=self._images)
+        if not use_probe:
+            # stage 1: visual neighbors (line3D.cc:361) — host, cheap
+            tg0 = time.time()
+            sim = self._view_similarities()
+            self.neighbors = find_visual_neighbors(
+                sim, cams.baselines(), cfg.min_baseline,
+                cfg.matching_neighbors, cfg.eps, ext_ids=self._images)
 
-        # stage 2: scene conditioning (line3D.cc:364) — host, cheap
-        self.transform = compute_conditioning(cams.C)
-        cams.transform(self.transform.Qinv, self.transform.scale)
-        t_graph = time.time() - tg0
+            # stage 2: scene conditioning (line3D.cc:364) — host, cheap
+            self.transform = compute_conditioning(cams.C)
+            cams.transform(self.transform.Qinv, self.transform.scale)
+            t_graph = time.time() - tg0
 
         # stage 3+4: matching + verification + greedy selection
         # (line3D.cc:367-370).  Both device programs are in flight before
@@ -408,10 +440,33 @@ class Line3D:
         # mesh is present); the per-view engine is kept for
         # exactness-without-caps runs.
         if self.use_sharded_engine:
+            overrides = {}
+            if probe_bufs is not None:
+                need, total, bmax = engine.finalize_capacity_probe(
+                    probe_bufs)
+                decision = engine.decide_exact_capacities(
+                    need, total, bmax, cfg, prep["n_max"], prep["S"])
+                if decision is not None:
+                    overrides = dict(
+                        m_total_override=decision["m_total"],
+                        quota_override=decision["quota"],
+                        k_export_override=decision["k_export"],
+                        # strict-bound export stays device-resident and is
+                        # sliced to the actual verified size at readback
+                        defer_export=True)
+                    if self.verbose:
+                        print(f"[L3D] capacity probe: need "
+                              f"{decision['need']} -> m_total "
+                              f"{decision['m_total']}, block quota "
+                              f"{decision['blockmax']} -> "
+                              f"{decision['quota']}, export "
+                              f"{decision['total']} -> "
+                              f"{decision['k_export']}")
             # chunked dispatch; each chunk's device->host copy is queued
             # inside and overlaps the next chunk's execution
             buf, mctx = engine.dispatch_matching_sharded(
-                scene, cams, self.neighbors, cfg)
+                scene, cams, self.neighbors, cfg, prepared=prep,
+                **overrides)
             if cfg.use_collinearity:
                 scene.collin = collinearity_finalize_chunked(
                     coll_chunks, max_segments=scene.max_segments,
@@ -485,23 +540,35 @@ class Line3D:
             graph = diffusion_mod.run_diffusion(graph, cfg, self.verbose,
                                                 mesh=d_mesh)
         t2b = time.time()
+        ba_info = {}
         if graph.num_nodes:
             labels = fh.fh_cluster(graph.edges_i, graph.edges_j,
                                    graph.edges_w, graph.num_nodes, cfg.fh_c)
             t2c = time.time()
             # device refine shards its cluster axis over the views mesh
-            # (independent per-cluster Gauss-Newton, zero collectives)
+            # (independent per-cluster Gauss-Newton, zero collectives);
+            # the joint camera BA additionally psums its reduced [6V, 6V]
+            # camera system over the mesh (Schur over ICI, fit/bundle.py)
+            do_refine = cfg.refine_lines or cfg.bundle_adjust_cameras
             r_mesh = None
-            if cfg.refine_lines and \
-                    refine_mod.resolve_backend(cfg) == "device":
+            if do_refine and refine_mod.resolve_backend(cfg) == "device":
                 from .parallel import mesh as mesh_mod
                 r_mesh = mesh_mod.make_view_mesh()
             self.result = fit_lines.process_clusters(
                 graph, labels, best, self.transform, cfg,
                 scene.max_segments, verbose=self.verbose,
-                refine=cfg.refine_lines,
+                refine=do_refine,
                 scene_segments=scene.segments, P_cond=cams.P,
-                mesh=r_mesh)
+                mesh=r_mesh, cameras=cams, out_info=ba_info)
+            if "R_cond" in ba_info:
+                # un-condition the refined poses: X' = s (R_c X + t_c), so
+                # the equivalent original-frame pose of a conditioned
+                # camera (R', t') is R_u = R' R_c, t_u = R' t_c + t' / s
+                tr = self.transform
+                Rp, tp = ba_info["R_cond"], ba_info["t_cond"]
+                self.refined_poses = (
+                    np.einsum("vij,jk->vik", Rp, tr.R),
+                    np.einsum("vij,j->vi", Rp, tr.t) + tp * tr.scale_inv)
         else:
             t2c = t2b
             self.result = []
@@ -520,8 +587,16 @@ class Line3D:
             t_fh=t2c - t2b, t_fit=t3 - t2c,
             match_overflow=int(overflow_total),
             views_rematched_uncapped=int(n_rematched),
+            # one-pass exact launch capacities (0 = defaults were exact
+            # or the probe did not run)
+            probe_m_total=int(decision["m_total"]) if decision else 0,
+            probe_quota=int(decision["quota"]) if decision else 0,
+            probe_k_export=int(decision["k_export"]) if decision else 0,
             collinearity_overflow=coll_overflow,
             views_recollin_exact=int(n_recollin))
+        if ba_info:
+            self.stats["ba_rms_before"] = ba_info.get("ba_rms_before")
+            self.stats["ba_rms_after"] = ba_info.get("ba_rms_after")
         if self.verbose:
             print(f"[L3D] {len(self.result)} 3D lines found! "
                   f"(match {t2-t1:.2f}s, cluster {t3-t2:.2f}s)")

@@ -207,10 +207,14 @@ def test_pipeline_fallback_end_to_end_matches_uncapped():
         res = l3d.compute_3d_model(perform_diffusion=False)
         return res, l3d.stats
 
+    # capacity_probe off: this test pins the FALLBACK machinery (capped
+    # pass overflows, rematch restores the oracle); the one-pass probe
+    # path is pinned separately below
     tiny = dataclasses.replace(L3DConfig(use_collinearity=False),
                                match_block_quota=1,
                                max_matches_per_segment=8,
-                               uncapped_fallback=True)
+                               uncapped_fallback=True,
+                               capacity_probe=False)
     big = dataclasses.replace(L3DConfig(use_collinearity=False),
                               match_block_quota=128,
                               max_matches_per_segment=10**6)
@@ -229,6 +233,74 @@ def test_pipeline_fallback_end_to_end_matches_uncapped():
     for rt, rb in zip(sorted(res_t, key=lambda r: len(r.segments3d)),
                       sorted(res_b, key=lambda r: len(r.segments3d))):
         np.testing.assert_allclose(rt.segments3d, rb.segments3d, rtol=1e-6)
+
+
+def test_pipeline_probe_one_pass_exact_matches_uncapped():
+    """One-pass exact matching (capacity_probe, the default): on a scene
+    that saturates tiny caps, the probe must size the single mainline pass
+    so that NOTHING overflows and NO view is rematched, and the final 3D
+    lines must equal the independent per-view uncapped oracle."""
+    syn = _dense_syn()
+
+    def run(cfg, sharded=True):
+        l3d = Line3D(config=cfg, use_sharded_engine=sharded)
+        for v in range(syn.scene.num_views):
+            l3d.add_view_segments(
+                v, syn.scene.segments[v][syn.scene.seg_mask[v]],
+                syn.cameras.K[v], syn.cameras.R[v], syn.cameras.t[v],
+                worldpoint_ids=syn.wp_lists[v], width=640, height=480)
+        res = l3d.compute_3d_model(perform_diffusion=False)
+        return res, l3d.stats
+
+    tiny = dataclasses.replace(L3DConfig(use_collinearity=False),
+                               match_block_quota=1,
+                               max_matches_per_segment=8)
+    assert tiny.capacity_probe and tiny.uncapped_fallback   # defaults
+    big = dataclasses.replace(L3DConfig(use_collinearity=False),
+                              match_block_quota=128,
+                              max_matches_per_segment=10**6)
+    res_t, stats_t = run(tiny)
+    res_b, _ = run(big, sharded=False)
+
+    # the whole point of the probe: exactness in ONE pass
+    assert stats_t["views_rematched_uncapped"] == 0
+    assert stats_t["match_overflow"] == 0
+    assert stats_t["probe_m_total"] > 8          # caps were raised upfront
+
+    def keysets(res):
+        return sorted(frozenset(zip(r.views2d.tolist(), r.segs2d.tolist()))
+                      for r in res)
+    assert keysets(res_t) == keysets(res_b)
+    for rt, rb in zip(sorted(res_t, key=lambda r: len(r.segments3d)),
+                      sorted(res_b, key=lambda r: len(r.segments3d))):
+        np.testing.assert_allclose(rt.segments3d, rb.segments3d, rtol=1e-6)
+
+
+def test_probe_counters_match_oracle_counts():
+    """The probe's (need, total, blockmax) must equal the exact counting
+    program's per-view numbers (same pair kernel, same inputs)."""
+    syn = _dense_syn(num_views=6)
+    cfg = L3DConfig()
+    cams, neighbors = _setup(syn, cfg)
+
+    prep = engine.prepare_sharded_matching(syn.scene, cams, neighbors, cfg)
+    need, total, bmax = engine.finalize_capacity_probe(
+        engine.dispatch_capacity_probe(prep))
+
+    ctx = engine._ViewContext(syn.scene, cams, cfg,
+                              max(len(n) for n in neighbors))
+    for v in range(syn.scene.num_views):
+        nb = np.asarray(neighbors[v], np.int64)
+        if len(nb) == 0:
+            assert need[v] == 0 and total[v] == 0
+            continue
+        (segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, _P), nb_mask = \
+            ctx.neighbor_arrays(v, nb)
+        nv = np.asarray(engine._count_view_matches(
+            ctx.segs_f32[v], ctx.mask[v], ctx.RtKinv32[v], ctx.C32[v],
+            segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, nb_mask))
+        assert need[v] == nv.sum(axis=0).max()
+        assert total[v] == nv.sum()
 
 
 def test_fallback_off_warns(capsys):

@@ -4,11 +4,13 @@ through the reference-exact path.
 The facade generator (utils/demo.make_facade_scene) exists because the
 random-clutter demo scene saturates the match caps by construction; the
 facade's counts are driven by real epipolar physics (long vertical edges
-collect ~50-80 gate-passing candidates per neighbor), so a capped run
-overflows and the uncapped fallback (engine.apply_uncapped_fallback,
-reference semantics: unbounded match lists, cudawrapper.cu:923-1007) must
-repair it.  This pins the whole exact path end-to-end on a scene shaped
-like the benchmark rows in README.md.
+collect ~50-80 gate-passing candidates per neighbor), exceeding the
+default caps.  The one-pass exact flow (capacity_probe, the default) must
+therefore raise the launch capacities upfront so NOTHING overflows and no
+view pays a rematch (reference semantics: unbounded match lists,
+cudawrapper.cu:923-1007; the fallback machinery itself is pinned with
+capacity_probe=False in tests/test_caps.py).  This pins the whole exact
+path end-to-end on a scene shaped like the benchmark rows in README.md.
 """
 import numpy as np
 
@@ -17,7 +19,7 @@ from line3d_tpu.config import L3DConfig
 from line3d_tpu.utils.demo import make_facade_scene, facade_lines
 
 
-def test_facade_scene_exact_fallback_end_to_end():
+def test_facade_scene_exact_one_pass_end_to_end():
     cfg = L3DConfig(stable_shapes=False)
     scene, dcams = make_facade_scene(num_views=6, width=640, height=480,
                                      focal=600.0, n_cols=3, n_rows=3,
@@ -32,11 +34,12 @@ def test_facade_scene_exact_fallback_end_to_end():
                               width=640, height=480)
     res = l3d.compute_3d_model()
 
-    # realistic density stresses the caps, and the guard repairs every
-    # overflowing view (reference exactness)
-    assert l3d.stats["match_overflow"] > 0
-    over_views = l3d.stats["views_rematched_uncapped"]
-    assert over_views > 0
+    # realistic density exceeds the default caps, so the probe must have
+    # raised the one-pass launch capacity — and then nothing overflows and
+    # no view is rematched (one-pass reference exactness)
+    assert l3d.stats["probe_m_total"] > 0
+    assert l3d.stats["match_overflow"] == 0
+    assert l3d.stats["views_rematched_uncapped"] == 0
 
     assert len(res) >= 20, len(res)
 
