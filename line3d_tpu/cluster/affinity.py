@@ -401,11 +401,23 @@ def _finalize_candidates(best, src_rows, tgt_rows, kinds, cws,
                          cams, config, verbose):
     """Shared tail of every enumerator: similarity, weights, per-kind
     thresholds, node-id assignment in emission order (line3D.cc:1019-1050),
-    symmetric edge list."""
+    symmetric edge list.  Large streams dispatch to the fused native pass
+    (affinity_finalize — one OpenMP similarity+weight+threshold sweep plus
+    one sequential emission pass; the numpy tail below makes ~10 passes
+    over the stream and was the largest single cost of the 1000-view
+    cluster stage)."""
     if not len(src_rows):
         return AffinityGraph(np.zeros(0, np.int32), np.zeros(0, np.int32),
                              np.zeros(0, np.float32),
                              np.zeros(0, np.int32), np.zeros(0, np.int32), 0)
+
+    if len(src_rows) > NATIVE_SIM_THRESHOLD:
+        from ..native.load import get_lib
+        lib = get_lib()
+        if lib is not None and hasattr(lib, "affinity_finalize"):
+            return _finalize_candidates_native(
+                lib, best, src_rows, tgt_rows, kinds, cws, cams, config,
+                verbose)
 
     sim = similarity_coll3d(cams, best, src_rows, tgt_rows, config.sigma_a)
     base = 0.5 * (best.score[src_rows].astype(np.float64) +
@@ -451,14 +463,57 @@ def _finalize_candidates(best, src_rows, tgt_rows, kinds, cws,
         num_nodes=len(node_rows))
 
 
-def _build_affinity_graph_native(lib, best, allp, row_lookup, key_of,
+def _finalize_candidates_native(lib, best, src_rows, tgt_rows, kinds, cws,
+                                cams, config, verbose):
+    """Fused native finalize (affinity_enum.cpp:affinity_finalize);
+    edge-for-edge identical to the numpy tail (tests/test_affinity.py)."""
+    n = len(src_rows)
+    B = best.view.size
+    edges_i = np.empty(2 * n, np.int32)
+    edges_j = np.empty(2 * n, np.int32)
+    edges_w = np.empty(2 * n, np.float32)
+    node_rows = np.empty(B, np.int64)
+    n_nodes = np.zeros(1, np.int64)
+    E = lib.affinity_finalize(
+        np.ascontiguousarray(src_rows, np.int64),
+        np.ascontiguousarray(tgt_rows, np.int64),
+        np.ascontiguousarray(kinds, np.int8),
+        np.ascontiguousarray(cws, np.float64), n,
+        np.ascontiguousarray(best.score, np.float32), B,
+        np.ascontiguousarray(best.P1, np.float64),
+        np.ascontiguousarray(best.P2, np.float64),
+        np.ascontiguousarray(best.dir, np.float64),
+        np.ascontiguousarray(best.d1, np.float32),
+        np.ascontiguousarray(best.d2, np.float32),
+        np.ascontiguousarray(best.view, np.int32),
+        np.ascontiguousarray(cams.k_lower, np.float64),
+        np.ascontiguousarray(cams.k_upper, np.float64),
+        np.ascontiguousarray(cams.median_depth, np.float64),
+        float(config.sigma_a), float(config.min_affinity),
+        float(config.collinear_affinity),
+        edges_i, edges_j, edges_w, node_rows, n_nodes)
+    nn = int(n_nodes[0])
+    node_rows = node_rows[:nn]
+    if verbose:
+        print(f"[L3D] A: #num_entries = {2 * E}")
+        print(f"[L3D] A: #num_rows    = {nn}")
+    return AffinityGraph(
+        edges_i=edges_i[:2 * E].copy(), edges_j=edges_j[:2 * E].copy(),
+        edges_w=edges_w[:2 * E].copy(),
+        node_view=best.view[node_rows].astype(np.int32),
+        node_seg=best.seg[node_rows].astype(np.int32),
+        num_nodes=nn)
+
+
+def _build_affinity_graph_native(lib, best, allp_packed, row_lookup, key_of,
                                  collin, cams, config, max_segments,
                                  verbose):
     """Native exact-order enumeration (native/affinity_enum.cpp): the
     reference's sequential traversal in C++ with an open-addressing pair
     set — ~20x the numpy stream formulation at 1000-view density.  Output
     is candidate-for-candidate identical to the loop/vec enumerators
-    (tests/test_affinity.py)."""
+    (tests/test_affinity.py).  Correspondence pairs stay in their packed
+    a*M + b form end to end."""
     S = max_segments
     V = cams.num_views
     M = np.int64(V) * S
@@ -468,19 +523,22 @@ def _build_affinity_graph_native(lib, best, allp, row_lookup, key_of,
     order = np.ascontiguousarray(np.argsort(key_of, kind="stable"),
                                  np.int64)
     key_sorted = np.ascontiguousarray(key_of[order])
-    a = np.ascontiguousarray(allp[:, 0])
-    b = np.ascontiguousarray(allp[:, 1])
+    pk = np.ascontiguousarray(allp_packed)
+    ptr64 = np.ascontiguousarray(ptr, np.int64)
     # upper bound on candidates/insertions: every correspondence pair, its
     # target's collinear partners, and every source's collinear partners
-    expected = int(len(a) + coll_cnt[b].sum() + coll_cnt[key_sorted].sum())
+    if hasattr(lib, "affinity_capacity"):
+        coll_b = int(lib.affinity_capacity(pk, len(pk), ptr64, M))
+    else:
+        coll_b = int(coll_cnt[pk % M].sum())
+    expected = int(len(pk) + coll_b + coll_cnt[key_sorted].sum())
     out_src = np.empty(expected, np.int64)
     out_tgt = np.empty(expected, np.int64)
     out_kind = np.empty(expected, np.int8)
     out_cw = np.empty(expected, np.float64)
     cnt = lib.affinity_enumerate(
-        key_sorted, order, len(order), a, b, len(a),
-        np.ascontiguousarray(row_lookup, np.int64),
-        np.ascontiguousarray(ptr, np.int64),
+        key_sorted, order, len(order), pk, len(pk),
+        np.ascontiguousarray(row_lookup, np.int64), ptr64,
         np.ascontiguousarray(coll_j, np.int64),
         np.ascontiguousarray(coll_w, np.float64),
         S, M, expected, out_src, out_tgt, out_kind, out_cw)
@@ -489,11 +547,13 @@ def _build_affinity_graph_native(lib, best, allp, row_lookup, key_of,
                                 cams, config, verbose)
 
 
-def _correspondence_pairs(matches: list, num_views: int, max_segments: int):
-    """Sorted unique symmetric (key_a, key_b) array over verified matches
-    (the array form of potential_correspondence_lists).  Pairs are packed
-    into one int64 so the unique is a single 1-D sort — np.unique(axis=0)
-    on the 2-column form is ~15x slower at 1000-view scale."""
+def _correspondence_pairs_packed(matches: list, num_views: int,
+                                 max_segments: int):
+    """Sorted unique symmetric correspondence pairs PACKED as a*M + b over
+    verified matches.  Packing makes the unique a single 1-D sort —
+    np.unique(axis=0) on the 2-column form is ~15x slower at 1000-view
+    scale — and the native enumerator consumes the packed form directly
+    (unpacking to two columns costs two 30M-element divmod passes)."""
     S = max_segments
     M = np.int64(num_views) * S
     keys = []
@@ -503,7 +563,7 @@ def _correspondence_pairs(matches: list, num_views: int, max_segments: int):
         keys.append(a * M + b)
         keys.append(b * M + a)
     if not keys:
-        return np.zeros((0, 2), np.int64)
+        return np.zeros(0, np.int64), M
     pk = np.ascontiguousarray(np.concatenate(keys))
     from ..native.load import get_lib
     lib = get_lib()
@@ -512,6 +572,14 @@ def _correspondence_pairs(matches: list, num_views: int, max_segments: int):
         pk = pk[:m]
     else:
         pk = np.unique(pk)
+    return pk, M
+
+
+def _correspondence_pairs(matches: list, num_views: int, max_segments: int):
+    """Sorted unique symmetric (key_a, key_b) array (2-column form)."""
+    pk, M = _correspondence_pairs_packed(matches, num_views, max_segments)
+    if not len(pk):
+        return np.zeros((0, 2), np.int64)
     return np.stack([pk // M, pk % M], axis=1)
 
 
@@ -527,15 +595,17 @@ def build_affinity_graph(best: BestMatches, matches: list,
 
     has_collin = collin is not None and any(len(c) for c in collin)
     if has_collin and not force_loop:
-        allp = _correspondence_pairs(matches, cams.num_views, S)
+        pk, M = _correspondence_pairs_packed(matches, cams.num_views, S)
         row_lookup = np.full(cams.num_views * S, -1, np.int64)
         row_lookup[key_of] = np.arange(B)
         from ..native.load import get_lib
         lib = get_lib()
         if lib is not None and hasattr(lib, "affinity_enumerate"):
             return _build_affinity_graph_native(
-                lib, best, allp, row_lookup, key_of, collin, cams, config,
+                lib, best, pk, row_lookup, key_of, collin, cams, config,
                 S, verbose)
+        allp = np.stack([pk // M, pk % M], axis=1) if len(pk) else \
+            np.zeros((0, 2), np.int64)
         return _build_affinity_graph_vec(best, allp, row_lookup, key_of,
                                          collin, cams, config, S, verbose)
 

@@ -67,11 +67,28 @@ inline uint64_t pair_key(int64_t a, int64_t b, int64_t M) {
 
 }  // namespace
 
+// Candidate-capacity bound for affinity_enumerate: sum of collinear
+// partner counts over the packed pairs' TARGET keys (b = packed % M),
+// OpenMP.  Saves the caller a 30M-element divmod + gather at 1000-view
+// scale.
+int64_t affinity_capacity(const int64_t* allp_packed, int64_t P,
+                          const int64_t* coll_ptr, int64_t M) {
+    int64_t total = 0;
+#pragma omp parallel for schedule(static) reduction(+ : total)
+    for (int64_t q = 0; q < P; ++q) {
+        const int64_t b = allp_packed[q] % M;
+        total += coll_ptr[b + 1] - coll_ptr[b];
+    }
+    return total;
+}
+
 // Exact-order candidate enumeration.  Inputs:
 //   key_sorted/srcrow_sorted [B]: best-match node keys ascending + their
 //     row index (the reference iterates sources in ascending key order);
-//   allp_a/allp_b [P]: symmetric verified-correspondence pairs sorted by
-//     (a, b) — the potential_correspondences_ lists (line3D.cc:861-865);
+//   allp_packed [P]: symmetric verified-correspondence pairs PACKED as
+//     a*M + b, sorted ascending — the potential_correspondences_ lists
+//     (line3D.cc:861-865).  Taking them packed (the form the sort-unique
+//     produces) saves the caller two 30M-element divmod passes + a stack;
 //   row_lookup [M]: node key -> best row (-1 none);
 //   coll_ptr [M+1] / coll_j / coll_w: per-key CSR of collinear partner
 //     segments (ascending) and weights.
@@ -80,7 +97,7 @@ inline uint64_t pair_key(int64_t a, int64_t b, int64_t M) {
 // Returns the number of emitted candidates.
 int64_t affinity_enumerate(
     const int64_t* key_sorted, const int64_t* srcrow_sorted, int64_t B,
-    const int64_t* allp_a, const int64_t* allp_b, int64_t P,
+    const int64_t* allp_packed, int64_t P,
     const int64_t* row_lookup,
     const int64_t* coll_ptr, const int64_t* coll_j, const double* coll_w,
     int64_t S, int64_t M, int64_t expected,
@@ -91,10 +108,11 @@ int64_t affinity_enumerate(
     for (int64_t r = 0; r < B; ++r) {
         const int64_t sk = key_sorted[r];
         const int64_t srow = srcrow_sorted[r];
-        while (p < P && allp_a[p] < sk) ++p;
+        const int64_t lo_key = sk * M, hi_key = (sk + 1) * M;
+        while (p < P && allp_packed[p] < lo_key) ++p;
         // A: potential correspondents, ascending
-        for (int64_t q = p; q < P && allp_a[q] == sk; ++q) {
-            const int64_t tk = allp_b[q];
+        for (int64_t q = p; q < P && allp_packed[q] < hi_key; ++q) {
+            const int64_t tk = allp_packed[q] - lo_key;
             if (!used.insert(pair_key(sk, tk, M))) continue;  // skips B too
             const int64_t trow = row_lookup[tk];
             if (trow < 0) continue;       // pair marked, no candidate, no B
@@ -125,10 +143,73 @@ int64_t affinity_enumerate(
     return cnt;
 }
 
-// similarity_coll3D over candidate pairs (line3D.cc:1600-1681): min-fused
-// endpoint point-to-line Gaussians under the depth-scaled uncertainty
-// model (view.cc:353-377) and the angle Gaussian.  Double precision, same
-// operation order as the numpy twin (cluster/affinity.py).
+namespace {
+
+// similarity_coll3D for one candidate pair (line3D.cc:1600-1681):
+// min-fused endpoint point-to-line Gaussians under the depth-scaled
+// uncertainty model (view.cc:353-377) and the angle Gaussian.  Double
+// precision, same operation order as the numpy twin (cluster/affinity.py).
+inline double similarity_one(
+    int64_t a, int64_t b,
+    const double* P1, const double* P2, const double* dirv,
+    const float* d1, const float* d2, const int32_t* view,
+    const double* k_lower, const double* k_upper,
+    const double* median_depth, double sa2) {
+    const double log001x2 = 2.0 * std::log(0.01);
+    const double rad2deg = 180.0 / 3.14159265358979323846;
+
+    // one direction: rows e's endpoints against rows o's line,
+    // uncertainties of e
+    auto side = [&](int64_t e, int64_t o) -> double {
+        const double* p1o = P1 + 3 * o;
+        const double* do_ = dirv + 3 * o;
+        auto p2l = [&](const double* X) -> double {
+            const double dx = X[0] - p1o[0];
+            const double dy = X[1] - p1o[1];
+            const double dz = X[2] - p1o[2];
+            const double t = dx * do_[0] + dy * do_[1] + dz * do_[2];
+            const double q = dx * dx + dy * dy + dz * dz - t * t;
+            return std::sqrt(q > 0.0 ? q : 0.0);
+        };
+        const double da = p2l(P1 + 3 * e);
+        const double db = p2l(P2 + 3 * e);
+        const int32_t v = view[e];
+        const double med = median_depth[v];
+        const double de1 = static_cast<double>(d1[e]);
+        const double de2 = static_cast<double>(d2[e]);
+        const double m1 = k_lower[v] * (de1 < med ? de1 : med);
+        const double m2 = k_lower[v] * (de2 < med ? de2 : med);
+        const double u1 = k_upper[v] * (de1 < med ? de1 : med);
+        const double u2 = k_upper[v] * (de2 < med ? de2 : med);
+        const double s1sq = -(u1 - m1) * (u1 - m1) / log001x2;
+        const double s2sq = -(u2 - m2) * (u2 - m2) / log001x2;
+        const double e1 = da < m1 ? 1.0
+            : std::exp(-(da - m1) * (da - m1) / (2.0 * s1sq));
+        const double e2 = db < m2 ? 1.0
+            : std::exp(-(db - m2) * (db - m2) / (2.0 * s2sq));
+        return e1 < e2 ? e1 : e2;
+    };
+
+    const double w12 = side(a, b);
+    const double w34 = side(b, a);
+    double wd = w12 < w34 ? w12 : w34;
+
+    const double* da_ = dirv + 3 * a;
+    const double* db_ = dirv + 3 * b;
+    double dot = da_[0] * db_[0] + da_[1] * db_[1] + da_[2] * db_[2];
+    if (dot > 1.0) dot = 1.0;
+    if (dot < -1.0) dot = -1.0;
+    double ang = std::acos(dot) * rad2deg;
+    if (ang > 90.0) ang = 180.0 - ang;
+    const double wa = std::exp(-ang * ang / sa2);
+
+    double s = wd < wa ? wd : wa;
+    return s <= 0.01 ? 0.0 : s;
+}
+
+}  // namespace
+
+// Vectorized similarity_coll3D over candidate row pairs, OpenMP.
 void affinity_similarity(
     const int64_t* src_rows, const int64_t* tgt_rows, int64_t n,
     const double* P1, const double* P2, const double* dirv,  // [B x 3]
@@ -136,62 +217,74 @@ void affinity_similarity(
     const double* k_lower, const double* k_upper,            // [V]
     const double* median_depth,                              // [V]
     double sigma_a, double* sim_out) {
-    const double log001x2 = 2.0 * std::log(0.01);
     const double sa2 = 2.0 * sigma_a * sigma_a;
-    const double rad2deg = 180.0 / 3.14159265358979323846;
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; ++i) {
+        sim_out[i] = similarity_one(src_rows[i], tgt_rows[i], P1, P2, dirv,
+                                    d1, d2, view, k_lower, k_upper,
+                                    median_depth, sa2);
+    }
+}
+
+// Fused finalize of the candidate stream (_finalize_candidates'
+// similarity + weight + threshold + emission-order node assignment +
+// symmetric edge emission, line3D.cc:1019-1221, in one native pass — the
+// numpy formulation made ~10 full passes over the 30M-candidate stream
+// and was the largest single cost of the 1000-view cluster stage).
+//   Parallel phase (OpenMP): per-candidate similarity, weight, per-kind
+//   threshold -> w or NaN sentinel.
+//   Sequential phase: single pass assigning node ids at first touch
+//   (emission order, exactly the reference's map behavior) and writing
+//   the interleaved symmetric edge list.
+// Outputs: edges_* capacity 2n, node_rows capacity B.  Returns E
+// (directed-pair count; edges arrays hold 2E), node count via n_nodes.
+int64_t affinity_finalize(
+    const int64_t* src_rows, const int64_t* tgt_rows,
+    const int8_t* kind, const double* cw, int64_t n,
+    const float* score, int64_t B,
+    const double* P1, const double* P2, const double* dirv,
+    const float* d1, const float* d2, const int32_t* view,
+    const double* k_lower, const double* k_upper,
+    const double* median_depth,
+    double sigma_a, double min_affinity, double collinear_affinity,
+    int32_t* edges_i, int32_t* edges_j, float* edges_w,
+    int64_t* node_rows, int64_t* n_nodes) {
+    const double sa2 = 2.0 * sigma_a * sigma_a;
+    std::vector<double> w(n);
 
 #pragma omp parallel for schedule(static)
     for (int64_t i = 0; i < n; ++i) {
         const int64_t a = src_rows[i], b = tgt_rows[i];
-
-        // one direction: rows e's endpoints against rows o's line,
-        // uncertainties of e
-        auto side = [&](int64_t e, int64_t o) -> double {
-            const double* p1o = P1 + 3 * o;
-            const double* do_ = dirv + 3 * o;
-            auto p2l = [&](const double* X) -> double {
-                const double dx = X[0] - p1o[0];
-                const double dy = X[1] - p1o[1];
-                const double dz = X[2] - p1o[2];
-                const double t = dx * do_[0] + dy * do_[1] + dz * do_[2];
-                const double q = dx * dx + dy * dy + dz * dz - t * t;
-                return std::sqrt(q > 0.0 ? q : 0.0);
-            };
-            const double da = p2l(P1 + 3 * e);
-            const double db = p2l(P2 + 3 * e);
-            const int32_t v = view[e];
-            const double med = median_depth[v];
-            const double de1 = static_cast<double>(d1[e]);
-            const double de2 = static_cast<double>(d2[e]);
-            const double m1 = k_lower[v] * (de1 < med ? de1 : med);
-            const double m2 = k_lower[v] * (de2 < med ? de2 : med);
-            const double u1 = k_upper[v] * (de1 < med ? de1 : med);
-            const double u2 = k_upper[v] * (de2 < med ? de2 : med);
-            const double s1sq = -(u1 - m1) * (u1 - m1) / log001x2;
-            const double s2sq = -(u2 - m2) * (u2 - m2) / log001x2;
-            const double e1 = da < m1 ? 1.0
-                : std::exp(-(da - m1) * (da - m1) / (2.0 * s1sq));
-            const double e2 = db < m2 ? 1.0
-                : std::exp(-(db - m2) * (db - m2) / (2.0 * s2sq));
-            return e1 < e2 ? e1 : e2;
-        };
-
-        const double w12 = side(a, b);
-        const double w34 = side(b, a);
-        double wd = w12 < w34 ? w12 : w34;
-
-        const double* da_ = dirv + 3 * a;
-        const double* db_ = dirv + 3 * b;
-        double dot = da_[0] * db_[0] + da_[1] * db_[1] + da_[2] * db_[2];
-        if (dot > 1.0) dot = 1.0;
-        if (dot < -1.0) dot = -1.0;
-        double ang = std::acos(dot) * rad2deg;
-        if (ang > 90.0) ang = 180.0 - ang;
-        const double wa = std::exp(-ang * ang / sa2);
-
-        double s = wd < wa ? wd : wa;
-        sim_out[i] = s <= 0.01 ? 0.0 : s;
+        const double sim = similarity_one(a, b, P1, P2, dirv, d1, d2, view,
+                                          k_lower, k_upper, median_depth,
+                                          sa2);
+        const double base = 0.5 * (static_cast<double>(score[a]) +
+                                   static_cast<double>(score[b]));
+        const double wv = (kind[i] == 2 ? cw[i] : 1.0) * base * sim;
+        const double thr = kind[i] == 0 ? min_affinity : collinear_affinity;
+        w[i] = wv > thr ? wv : -1.0;          // sentinel: dropped
     }
+
+    std::vector<int64_t> node_of(B, -1);
+    int64_t nn = 0, e = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        if (w[i] < 0.0) continue;
+        const int64_t a = src_rows[i], b = tgt_rows[i];
+        int64_t na = node_of[a];
+        if (na < 0) { na = node_of[a] = nn; node_rows[nn++] = a; }
+        int64_t nb = node_of[b];
+        if (nb < 0) { nb = node_of[b] = nn; node_rows[nn++] = b; }
+        const float wf = static_cast<float>(w[i]);
+        edges_i[2 * e] = static_cast<int32_t>(na);
+        edges_j[2 * e] = static_cast<int32_t>(nb);
+        edges_w[2 * e] = wf;
+        edges_i[2 * e + 1] = static_cast<int32_t>(nb);
+        edges_j[2 * e + 1] = static_cast<int32_t>(na);
+        edges_w[2 * e + 1] = wf;
+        ++e;
+    }
+    *n_nodes = nn;
+    return e;
 }
 
 }  // extern "C"

@@ -100,17 +100,32 @@ def get_lib():
         if hasattr(lib, "affinity_enumerate"):
             lib.affinity_enumerate.argtypes = [
                 i64p, i64p, ctypes.c_int64,          # key_sorted, rows, B
-                i64p, i64p, ctypes.c_int64,          # allp_a, allp_b, P
+                i64p, ctypes.c_int64,                # allp_packed, P
                 i64p,                                # row_lookup
                 i64p, i64p, f64p,                    # coll csr
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # S, M, exp
                 i64p, i64p, i8p, f64p]               # outputs
             lib.affinity_enumerate.restype = ctypes.c_int64
+        if hasattr(lib, "affinity_capacity"):
+            lib.affinity_capacity.argtypes = [i64p, ctypes.c_int64, i64p,
+                                              ctypes.c_int64]
+            lib.affinity_capacity.restype = ctypes.c_int64
             lib.affinity_similarity.argtypes = [
                 i64p, i64p, ctypes.c_int64,
                 f64p, f64p, f64p, f32p, f32p, i32p,
                 f64p, f64p, f64p, ctypes.c_double, f64p]
             lib.affinity_similarity.restype = None
+        if hasattr(lib, "affinity_finalize"):
+            lib.affinity_finalize.argtypes = [
+                i64p, i64p, i8p, f64p, ctypes.c_int64,   # candidates
+                f32p, ctypes.c_int64,                    # score, B
+                f64p, f64p, f64p, f32p, f32p, i32p,      # best arrays
+                f64p, f64p, f64p,                        # camera arrays
+                ctypes.c_double, ctypes.c_double, ctypes.c_double,
+                i32p, i32p, f32p, i64p,                  # outputs
+                np.ctypeslib.ndpointer(np.int64, shape=(1,),
+                                       flags="C_CONTIGUOUS")]
+            lib.affinity_finalize.restype = ctypes.c_int64
         if hasattr(lib, "lsd_carve"):
             lib.lsd_carve.argtypes = [
                 f32p, f32p, i32p, u8p, ctypes.c_int64,       # norm, angle,

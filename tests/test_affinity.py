@@ -161,6 +161,55 @@ def test_native_enumerator_matches_loop_and_vec(monkeypatch):
     assert g_native.num_nodes > 10
 
 
+def test_native_finalize_matches_numpy(monkeypatch):
+    """The fused native finalize (affinity_finalize) must produce the SAME
+    graph — edges, weights, node order — as the numpy tail on the same
+    candidate stream.  Production dispatches to it above
+    NATIVE_SIM_THRESHOLD; pinned to 0 here."""
+    from line3d_tpu.native import load as native_load
+    lib = native_load.get_lib()
+    if lib is None or not hasattr(lib, "affinity_finalize"):
+        import pytest
+        pytest.skip("native library unavailable")
+
+    syn = make_scene(num_views=8)
+    cams = syn.cameras
+    cfg = L3DConfig()
+    tr = compute_conditioning(cams.C)
+    cams.transform(tr.Qinv, tr.scale)
+    sim, _ = view_similarities_from_worldpoints(syn.wp_lists,
+                                                syn.scene.num_views)
+    neighbors = find_visual_neighbors(sim, cams.baselines(),
+                                      cfg.min_baseline,
+                                      cfg.matching_neighbors)
+    _, best, _ = engine.run_matching(syn.scene, cams, neighbors, cfg)
+
+    B = best.view.size
+    rng = np.random.default_rng(3)
+    n = 6000
+    src = rng.integers(0, B, size=n).astype(np.int64)
+    tgt = rng.integers(0, B, size=n).astype(np.int64)
+    bad = src == tgt
+    tgt[bad] = (tgt[bad] + 1) % B
+    kinds = rng.integers(0, 3, size=n).astype(np.int8)
+    cws = rng.uniform(0.05, 1.0, size=n)
+
+    monkeypatch.setattr(affinity, "NATIVE_SIM_THRESHOLD", 0)
+    g_nat = affinity._finalize_candidates(best, src, tgt, kinds, cws,
+                                          cams, cfg, False)
+    monkeypatch.setattr(affinity, "NATIVE_SIM_THRESHOLD", 10 ** 12)
+    g_np = affinity._finalize_candidates(best, src, tgt, kinds, cws,
+                                         cams, cfg, False)
+    assert g_nat.num_nodes == g_np.num_nodes
+    np.testing.assert_array_equal(g_nat.edges_i, g_np.edges_i)
+    np.testing.assert_array_equal(g_nat.edges_j, g_np.edges_j)
+    np.testing.assert_allclose(g_nat.edges_w, g_np.edges_w, rtol=0,
+                               atol=1e-7)
+    np.testing.assert_array_equal(g_nat.node_view, g_np.node_view)
+    np.testing.assert_array_equal(g_nat.node_seg, g_np.node_seg)
+    assert len(g_nat.edges_w) > 100
+
+
 def test_native_similarity_kernel_matches_numpy(monkeypatch):
     """The native OpenMP similarity kernel (affinity_similarity,
     native/affinity_enum.cpp) must agree with the numpy twin on the SAME
