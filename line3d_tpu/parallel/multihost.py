@@ -14,12 +14,17 @@ beyond one host follows the standard JAX SPMD recipe:
      view's work on the device that owns its shard and XLA routes any
      cross-host traffic over DCN,
   4. clustering inputs (verified-match exports) are gathered to host 0,
-     which runs the (cheap, sequential) affinity + union-find + fit stages
-     and writes the result.
+     which runs the affinity + union-find + fit stages and writes the
+     result.
 
 Host-side stages after matching are O(verified matches) and run on one
 host — the same asymmetry the reference has between its GPU hot loops and
-CPU bookkeeping.
+CPU bookkeeping.  Measured at 1000-view production density they total
+~25 s on a 4-core host (fused native affinity finalize + packed-pair
+enumeration + native F-H + batched fit) against a ~55 s device stage, so
+single-host clustering is NOT the scaling bound through the 1000-view
+north star; the serial-exact Amdahl floor is the order-dependent
+enumeration itself (~5 s / 1000 views, linear).
 """
 from __future__ import annotations
 
