@@ -65,6 +65,13 @@ def _add_common_flags(ap: argparse.ArgumentParser):
                     default=d.refine_lines,
                     help="bundle-adjust 3D lines against member segments "
                          "(extension; no reference equivalent)")
+    ap.add_argument("--ba", type=_parse_bool,
+                    default=d.bundle_adjust_cameras,
+                    help="joint camera+line bundle adjustment: refine "
+                         "6-DoF poses and lines together (Schur-eliminated "
+                         "line blocks, fit/bundle.py; extension — implies "
+                         "-r; refined poses are reported in the run "
+                         "summary)")
     ap.add_argument("--detect_workers", type=int, default=0,
                     help="threads for parallel image load/undistort/detect "
                          "(0 = auto; the reference detects sequentially)")
@@ -95,6 +102,7 @@ def _config_from_args(args) -> L3DConfig:
         use_collinearity=args.collinearity_flag,
         min_baseline=abs(args.min_image_baseline),
         refine_lines=args.refine,
+        bundle_adjust_cameras=getattr(args, "ba", False),
         stable_shapes=getattr(args, "stable_shapes", False))
 
 
@@ -151,6 +159,13 @@ def _finish(l3d: Line3D, args, output_folder: str):
                                  "views_recollin_exact") if st.get(k)}
     if extras:
         print(f"[SYS] exactness:       {extras}")
+    if st.get("probe_m_total"):
+        print(f"[SYS] capacity probe:  m_total={st['probe_m_total']} "
+              f"quota={st['probe_quota']} k_export={st['probe_k_export']}")
+    if st.get("ba_rms_before") is not None:
+        print(f"[SYS] camera BA:       reprojection rms "
+              f"{st['ba_rms_before']:.3f} -> {st['ba_rms_after']:.3f} px "
+              f"(poses on Line3D.refined_poses)")
     return stem
 
 

@@ -149,33 +149,44 @@ def _pad_neighbors(arrs, n_max):
     return out
 
 
-def _best_rows_f64(scene: Scene, cameras: CameraSet, v: int, bs, d1, d2,
-                   bconf, tgt_view, tgt_seg):
-    """Unproject one view's best matches in float64 and build the
-    BestMatches row dict (unprojectSegment, view.cc:302-342; shared by the
-    per-view and sharded engines so the parity-critical math has exactly
-    one implementation)."""
-    p1 = np.concatenate([scene.segments[v, bs, 0:2],
-                         np.ones((len(bs), 1), np.float32)], axis=1)
-    p2 = np.concatenate([scene.segments[v, bs, 2:4],
-                         np.ones((len(bs), 1), np.float32)], axis=1)
-    r1 = (cameras.RtKinv[v] @ p1.astype(np.float64).T).T
+def _best_rows_f64_batched(scene: Scene, cameras: CameraSet, v_arr, s_arr,
+                           d1, d2, bconf, tgt_view, tgt_seg):
+    """Unproject best matches in float64 across MANY views at once and
+    build the BestMatches row dict (unprojectSegment, view.cc:302-342;
+    the parity-critical math has exactly this one implementation —
+    the per-view helper below wraps it)."""
+    n = len(v_arr)
+    coords = scene.segments[v_arr, s_arr].astype(np.float64)
+    ones = np.ones((n, 1))
+    p1 = np.concatenate([coords[:, 0:2], ones], axis=1)
+    p2 = np.concatenate([coords[:, 2:4], ones], axis=1)
+    M = cameras.RtKinv[v_arr]                       # [n, 3, 3]
+    r1 = np.einsum("bij,bj->bi", M, p1)
     r1 /= np.linalg.norm(r1, axis=1, keepdims=True)
-    r2 = (cameras.RtKinv[v] @ p2.astype(np.float64).T).T
+    r2 = np.einsum("bij,bj->bi", M, p2)
     r2 /= np.linalg.norm(r2, axis=1, keepdims=True)
-    P1 = cameras.C[v] + r1 * np.asarray(d1, np.float64)[:, None]
-    P2 = cameras.C[v] + r2 * np.asarray(d2, np.float64)[:, None]
+    C = cameras.C[v_arr]
+    P1 = C + r1 * np.asarray(d1, np.float64)[:, None]
+    P2 = C + r2 * np.asarray(d2, np.float64)[:, None]
     dirv = P2 - P1
     nrm = np.linalg.norm(dirv, axis=1, keepdims=True)
     dirv = np.divide(dirv, nrm, out=np.zeros_like(dirv), where=nrm > 0)
-    return dict(view=np.full(len(bs), v, np.int32),
-                seg=np.asarray(bs, np.int32),
+    return dict(view=np.asarray(v_arr, np.int32),
+                seg=np.asarray(s_arr, np.int32),
                 tgt_view=np.asarray(tgt_view, np.int32),
                 tgt_seg=np.asarray(tgt_seg, np.int32),
                 score=np.asarray(bconf, np.float32),
                 P1=P1, P2=P2, dir=dirv,
                 d1=np.asarray(d1, np.float32),
                 d2=np.asarray(d2, np.float32))
+
+
+def _best_rows_f64(scene: Scene, cameras: CameraSet, v: int, bs, d1, d2,
+                   bconf, tgt_view, tgt_seg):
+    """One view's best rows (see _best_rows_f64_batched)."""
+    return _best_rows_f64_batched(
+        scene, cameras, np.full(len(bs), v, np.int64), np.asarray(bs),
+        d1, d2, bconf, tgt_view, tgt_seg)
 
 
 class _ViewContext:
@@ -953,47 +964,62 @@ def finalize_matching_sharded(bufs, ctx, scene: Scene, cameras: CameraSet,
             chunks[0] if len(chunks) == 1 else np.concatenate(chunks),
             S, k_export)
 
-    all_matches = []
-    best_rows = []
     median_depths = np.ones(V)
-    views_iter = range(V) if only_views is None else sorted(only_views)
-    for v in views_iter:
-        nb = np.asarray(neighbors[v], np.int64)
-        if len(nb) == 0:
-            continue
-        # median depth (computed on device, cudawrapper.cu:1025-1076)
-        if out["median_has"][v]:
-            median_depths[v] = float(out["median_depth"][v])
-        cameras.median_depth[v] = median_depths[v]
+    views_iter = [v for v in (range(V) if only_views is None
+                              else sorted(only_views))
+                  if len(neighbors[v])]
+    if not views_iter:
+        return [], _empty_best(), median_depths
+    va = np.asarray(views_iter, np.int64)
 
-        packed = out["exp_packed"][v]
-        packed = packed[packed >= 0]
-        src, camslot, tgt = sharded.unpack_export(
-            packed, S, nb_ids.shape[1])
-        vm = ViewMatches(
+    # medians (computed on device, cudawrapper.cu:1025-1076)
+    has_med = np.asarray(out["median_has"][va])
+    median_depths[va[has_med]] = out["median_depth"][va][has_med]
+    cameras.median_depth[va] = median_depths[va]
+
+    # packed verified-match exports: decode ALL views in one vector pass
+    # (the per-view loop's numpy overhead was ~0.4 s at 25 views and
+    # O(V) at the 1000-view scale), then slice per view
+    n_slots = nb_ids.shape[1]
+    packed_all = out["exp_packed"][va]
+    valid = packed_all >= 0
+    counts = valid.sum(axis=1)
+    src_a, cam_a, tgt_a = sharded.unpack_export(packed_all[valid], S,
+                                                n_slots)
+    tgtv_a = nb_ids[np.repeat(va, counts), cam_a].astype(np.int32)
+    offs = np.concatenate([[0], np.cumsum(counts)])
+
+    all_matches = []
+    for i, v in enumerate(views_iter):
+        sl = slice(offs[i], offs[i + 1])
+        all_matches.append(ViewMatches(
             view=v,
-            src_seg=src,
-            tgt_view=nb_ids[v][camslot].astype(np.int32),
-            tgt_seg=tgt,
+            src_seg=src_a[sl],
+            tgt_view=tgtv_a[sl],
+            tgt_seg=tgt_a[sl],
             overflow=int(out["overflow"][v]),
             need_capacity=int(out["need_capacity"][v]),
-            total_candidates=int(out["total_candidates"][v]))
-        all_matches.append(vm)
-
-        bs = np.nonzero(out["best_has"][v])[0]
-        if len(bs):
-            bconf = np.minimum(out["best_conf"][v][bs] /
-                               config.confidence_norm, 1.0)
-            best_rows.append(_best_rows_f64(
-                scene, cameras, v, bs,
-                out["best_depths"][v][bs, 0], out["best_depths"][v][bs, 1],
-                bconf, nb_ids[v][out["best_cam"][v][bs]],
-                out["best_tgt"][v][bs]))
+            total_candidates=int(out["total_candidates"][v])))
         if verbose:
-            print(f"[L3D] view {v}: {len(src)} verified matches "
+            print(f"[L3D] view {v}: {int(counts[i])} verified matches "
                   f"(sharded), median_depth={median_depths[v]:.4f}")
 
-    return all_matches, _concat_best(best_rows), median_depths
+    # best rows: one batched f64 unprojection across every view (row
+    # order = (view asc, seg asc), identical to the old per-view loop)
+    bh = np.asarray(out["best_has"][va])
+    vi, si = np.nonzero(bh)
+    if len(vi):
+        v_arr = va[vi]
+        bconf = np.minimum(out["best_conf"][va][vi, si] /
+                           config.confidence_norm, 1.0)
+        bd = out["best_depths"][va][vi, si]
+        best = _concat_best([_best_rows_f64_batched(
+            scene, cameras, v_arr, si, bd[:, 0], bd[:, 1], bconf,
+            nb_ids[v_arr, out["best_cam"][va][vi, si]],
+            out["best_tgt"][va][vi, si])])
+    else:
+        best = _empty_best()
+    return all_matches, best, median_depths
 
 
 def run_matching_sharded(scene: Scene, cameras: CameraSet, neighbors: list,
