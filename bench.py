@@ -418,9 +418,9 @@ def _measure_vpu_peak():
     return dflops / max(times[R_HI] - times[R_LO], 1e-9)
 
 
-def _run_e2e_scene(cfg, scene, dcams, views):
-    """Cold + 3 perturbed warm runs of the full pipeline on a prebuilt
-    scene; returns (best_ips, best_s, lines, stats_of_best)."""
+def _run_e2e_scene(cfg, scene, dcams, views, trials=3):
+    """Cold + `trials` perturbed warm runs of the full pipeline on a
+    prebuilt scene; returns (best_ips, best_s, lines, stats_of_best)."""
     import contextlib
     from line3d_tpu import Line3D
 
@@ -441,7 +441,7 @@ def _run_e2e_scene(cfg, scene, dcams, views):
 
     run_once(0.0, warm=True)              # cold: compile + remote load
     best, lines, stats = np.inf, 0, {}
-    for trial in range(3):
+    for trial in range(trials):
         dt, nlines, st = run_once(1e-3 * (trial + 1), warm=False)
         if dt < best:
             best, lines, stats = dt, nlines, st
@@ -464,7 +464,7 @@ def _bench_e2e_p25():
     scene, dcams = make_demo_scene(num_views=E2E_VIEWS,
                                    num_random_segments=E2E_SEGMENTS,
                                    config=cfg_exact)
-    ex = _run_e2e_scene(cfg_exact, scene, dcams, E2E_VIEWS)
+    ex = _run_e2e_scene(cfg_exact, scene, dcams, E2E_VIEWS, trials=2)
 
     cfg_capped = L3DConfig(stable_shapes=True, uncapped_fallback=False)
     cap = _run_e2e_scene(cfg_capped, scene, dcams, E2E_VIEWS)
@@ -502,21 +502,53 @@ def main():
     from line3d_tpu.config import L3DConfig
     cfg = L3DConfig()
 
+    # Sections run in PRIORITY order under a remaining-window check: a run
+    # whose cold service compiles eat the whole deadline still emits a
+    # JSON with the headline row instead of dying with nothing (the
+    # watchdog then only fires on a genuine tunnel hang).  Skipped
+    # sections leave null values, flagged in bench_sections_skipped.
+    skipped = []
+
+    def window(name, need_s):
+        if BENCH_DEADLINE_S > 0 and deadline - time.time() < need_s:
+            sys.stderr.write(f"[bench] skipping {name}: "
+                             f"{deadline - time.time():.0f}s left < "
+                             f"{need_s:.0f}s needed\n")
+            skipped.append(name)
+            return False
+        return True
+
+    # headline (always)
     fa_ips, fa_s, fa_lines, fa_stats = _bench_e2e_exact_facade()
     fa_rematched, fa_residual = _exactness(fa_stats)
-    (ex_ips, ex_s, ex_lines, ex_stats), \
-        (cap_ips, cap_s, cap_lines, cap_stats) = _bench_e2e_p25()
-    ex_rematched, ex_residual = _exactness(ex_stats)
 
-    fixture = _demo_match_fixture(cfg)
-    rate = _bench_pair_rate(fixture)
-    pair_s, pair_elems = _bench_pair_kernel_seconds(fixture)
-    scor_s, scor_elems = _bench_scoring_kernel_seconds(fixture)
-    vpu_stream = _measure_vpu_peak()
-    pair_rate = pair_elems * PAIR_FLOPS_PER_PAIR / pair_s
-    scor_rate = scor_elems * SCORING_FLOPS_PER_ELEM / scor_s
-    pair_rfl = pair_rate / VPU_ALU_PEAK_FLOPS
-    scor_rfl = scor_rate / VPU_ALU_PEAK_FLOPS
+    # kernel rates + rooflines (warm microbenches, modest cold compiles)
+    rate = pair_rate = scor_rate = pair_rfl = scor_rfl = None
+    pair_s = scor_s = vpu_stream = None
+    if window("kernels", 420):
+        fixture = _demo_match_fixture(cfg)
+        rate = _bench_pair_rate(fixture)
+        pair_s, pair_elems = _bench_pair_kernel_seconds(fixture)
+        scor_s, scor_elems = _bench_scoring_kernel_seconds(fixture)
+        pair_rate = pair_elems * PAIR_FLOPS_PER_PAIR / pair_s
+        scor_rate = scor_elems * SCORING_FLOPS_PER_ELEM / scor_s
+        pair_rfl = 100.0 * pair_rate / VPU_ALU_PEAK_FLOPS
+        scor_rfl = 100.0 * scor_rate / VPU_ALU_PEAK_FLOPS
+    if window("vpu_peak", 240):
+        vpu_stream = _measure_vpu_peak()
+
+    # capped-vs-exact stress pair on the same clutter scene (the exact
+    # stress row's m=2048 executables are the most expensive cold
+    # compiles of the whole bench)
+    ex_ips = ex_s = ex_lines = None
+    ex_stats = {}
+    cap_ips = cap_s = cap_lines = None
+    cap_stats = {}
+    if window("stress_pair", 900):
+        (ex_ips, ex_s, ex_lines, ex_stats), \
+            (cap_ips, cap_s, cap_lines, cap_stats) = _bench_e2e_p25()
+    ex_rematched, ex_residual = _exactness(ex_stats) if ex_stats \
+        else (None, None)
 
     watchdog.cancel()
     print(json.dumps({
@@ -553,20 +585,22 @@ def main():
         "e2e_stress_shape": f"{E2E_VIEWS}x{E2E_SEGMENTS}",
         # kernel-stage rate (BENCH_r01-r03 headline, kept for continuity)
         "pair_affinities_per_sec_per_chip": rate,
-        "pair_vs_nominal_cuda": rate / NOMINAL_BASELINE_PAIRS_PER_SEC,
+        "pair_vs_nominal_cuda":
+            rate / NOMINAL_BASELINE_PAIRS_PER_SEC if rate else None,
         # rooflines (BASELINE.md "speed-of-light per chip"): useful-math
         # flops from the XLA twins' cost model (scripts/roofline_flops.py)
         # over measured kernel seconds, against the documented v5e VPU
         # ALU-array peak; the measured streaming-FMA bound rides along
         # for audit (see module docstring for why these are conservative)
-        "pair_kernel_roofline_pct": 100.0 * pair_rfl,
-        "scoring_kernel_roofline_pct": 100.0 * scor_rfl,
+        "pair_kernel_roofline_pct": pair_rfl,
+        "scoring_kernel_roofline_pct": scor_rfl,
         "pair_kernel_math_flops_per_sec": pair_rate,
         "scoring_kernel_math_flops_per_sec": scor_rate,
         "pair_kernel_seconds": pair_s,
         "scoring_kernel_seconds": scor_s,
         "vpu_alu_peak_flops_per_sec": VPU_ALU_PEAK_FLOPS,
         "vpu_streaming_fma_peak_flops_per_sec": vpu_stream,
+        "bench_sections_skipped": skipped,
     }))
 
 
