@@ -101,6 +101,8 @@ def _bundle_jit(P0, d, K, R0, t0, vidx, p1, p2, mask, iterations: int,
     """One jitted joint Gauss-Newton solve (optionally inside shard_map
     with the cluster axis sharded on `axis`; [V]-shaped operands are then
     replicated and the reduced camera system arrives by psum)."""
+    import math
+
     import jax
     import jax.numpy as jnp
     hi = jax.lax.Precision.HIGHEST
@@ -182,12 +184,6 @@ def _bundle_jit(P0, d, K, R0, t0, vidx, p1, p2, mask, iterations: int,
         rf = (r0 * w).reshape(C, 2 * M)
         vix = jnp.repeat(jnp.maximum(vidx, 0), 2, axis=1)  # [C, 2M]
 
-        # place each row's camera block into the [Q] layout: G[c,i,:] is
-        # B[c,i,:] at view block v(i) — a one-hot outer product (TPU: a
-        # small MXU contraction beats a scatter)
-        onehot = jax.nn.one_hot(vix, V, dtype=P0.dtype)    # [C, 2M, V]
-        G = (onehot[..., None] * B[..., None, :]).reshape(C, 2 * M, Q)
-
         H_ll = jnp.einsum("cia,cib->cab", A, A, precision=hi)
         tr_l = jnp.trace(H_ll, axis1=1, axis2=2)
         H_ll = H_ll + damping * jnp.eye(4, dtype=P0.dtype)[None] * \
@@ -195,11 +191,42 @@ def _bundle_jit(P0, d, K, R0, t0, vidx, p1, p2, mask, iterations: int,
         Hinv = jnp.linalg.inv(H_ll)                        # [C, 4, 4]
         g_l = jnp.einsum("cia,ci->ca", A, rf, precision=hi)
 
-        Z = jnp.einsum("cia,ciq->caq", A, G, precision=hi)  # [C, 4, Q]
-        Htt = jnp.einsum("ciq,cir->qr", G, G, precision=hi)
-        S_fill = jnp.einsum("caq,cab,cbr->qr", Z, Hinv, Z, precision=hi)
-        g_t = jnp.einsum("ciq,ci->q", G, rf, precision=hi)
-        g_corr = jnp.einsum("caq,cab,cb->q", Z, Hinv, g_l, precision=hi)
+        # accumulate the reduced camera system in CLUSTER BLOCKS: the
+        # [C, 2M, 6V] placed-Jacobian G is the only O(C·V) tensor of the
+        # whole solve (at the 173k-cluster / 1000-view north star it would
+        # be ~100 GB), so it is materialized per 256-cluster block inside
+        # a lax.scan and contracted away immediately — peak extra memory
+        # is [CB, 2M, 6V] while every accumulator is [6V, 6V] or smaller.
+        # G[c,i,:] = B[c,i,:] at view block v(i), built as a one-hot outer
+        # product (a small MXU contraction beats a scatter on TPU).
+        CB = math.gcd(C, 256)
+        nblk = C // CB
+
+        def place(vix_c, B_c):
+            onehot = jax.nn.one_hot(vix_c, V, dtype=P0.dtype)
+            return (onehot[..., None] * B_c[..., None, :]
+                    ).reshape(CB, 2 * M, Q)
+
+        blk = lambda x: x.reshape((nblk, CB) + x.shape[1:])
+
+        def acc_body(carry, inp):
+            Htt, Sf, gt, gc = carry
+            A_c, B_c, r_c, vix_c, Hinv_c, gl_c = inp
+            G = place(vix_c, B_c)
+            Zc = jnp.einsum("cia,ciq->caq", A_c, G, precision=hi)
+            Htt = Htt + jnp.einsum("ciq,cir->qr", G, G, precision=hi)
+            Sf = Sf + jnp.einsum("caq,cab,cbr->qr", Zc, Hinv_c, Zc,
+                                 precision=hi)
+            gt = gt + jnp.einsum("ciq,ci->q", G, r_c, precision=hi)
+            gc = gc + jnp.einsum("caq,cab,cb->q", Zc, Hinv_c, gl_c,
+                                 precision=hi)
+            return (Htt, Sf, gt, gc), None
+
+        zQQ = jnp.zeros((Q, Q), P0.dtype)
+        zQ = jnp.zeros(Q, P0.dtype)
+        (Htt, S_fill, g_t, g_corr), _ = jax.lax.scan(
+            acc_body, (zQQ, zQQ, zQ, zQ),
+            (blk(A), blk(B), blk(rf), blk(vix), blk(Hinv), blk(g_l)))
 
         S_part = Htt - S_fill
         g_part = g_t - g_corr
@@ -221,10 +248,14 @@ def _bundle_jit(P0, d, K, R0, t0, vidx, p1, p2, mask, iterations: int,
         dtheta = jnp.linalg.solve(S, -g)                   # [Q]
         dtheta = jnp.where(jnp.isfinite(dtheta), dtheta, 0.0)
 
-        # back-substitute the line steps: δx_c = -Hinv (g_l + Z δθ)
-        dx = -jnp.einsum("cab,cb->ca", Hinv,
-                         g_l + jnp.einsum("caq,q->ca", Z, dtheta,
-                                          precision=hi), precision=hi)
+        # back-substitute the line steps: δx_c = -Hinv (g_l + Z δθ).
+        # Z δθ = Aᵀ (G δθ), and G δθ gathers the member's own camera's 6
+        # increments — no G materialization needed at all here
+        dth_v = dtheta.reshape(V, 6)
+        Bdth = jnp.einsum("cik,cik->ci", B,
+                          dth_v[vix], precision=hi)       # [C, 2M]
+        Zdth = jnp.einsum("cia,ci->ca", A, Bdth, precision=hi)
+        dx = -jnp.einsum("cab,cb->ca", Hinv, g_l + Zdth, precision=hi)
         dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
 
         P0n = P0c + dx[:, 0:1] * u1 + dx[:, 1:2] * u2
