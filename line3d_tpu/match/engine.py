@@ -72,12 +72,14 @@ class BestMatches:
 
 
 @functools.partial(jax.jit, static_argnames=("quota", "m_total",
-                                             "row_chunk", "support_t"))
+                                             "row_chunk", "support_t",
+                                             "per_nb_cap"))
 def _match_and_score_view(segs_src, mask_src, RtKinv_src, C_src,
                           segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, P_nb,
                           nb_mask, sigma_p, sigma_a, spatial_k,
                           quota: int, m_total: int, row_chunk: int,
-                          support_t: float = 0.5):
+                          support_t: float = 0.5,
+                          per_nb_cap: int | None = None):
     """Full device-side matching step for one source view.
 
     Returns (cam [S, M], tgt [S, M], depths [S, M, 4], valid [S, M],
@@ -86,7 +88,7 @@ def _match_and_score_view(segs_src, mask_src, RtKinv_src, C_src,
     res = pairwise.match_view_against_neighbors(
         segs_src, mask_src, RtKinv_src, C_src,
         segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, nb_mask, quota,
-        min_capacity=m_total)
+        min_capacity=m_total, per_nb_cap=per_nb_cap)
 
     cam, tgt, valid = pairwise.merge_neighbor_tables(
         res, m_total, segs_nb.shape[1])
@@ -754,14 +756,14 @@ def dispatch_capacity_probe(prep):
 
 
 def finalize_capacity_probe(bufs):
-    """Read back the probe chunks → (need [Vp], total [Vp], blockmax [Vp])
-    int64 per view (zeros in padded/inactive rows)."""
+    """Read back the probe chunks → (need [Vp], total [Vp], blockmax [Vp],
+    nbmax [Vp]) int64 per view (zeros in padded/inactive rows)."""
     res = np.concatenate([np.asarray(b) for b in bufs]).astype(np.int64)
-    return res[:, 0], res[:, 1], res[:, 2]
+    return res[:, 0], res[:, 1], res[:, 2], res[:, 3]
 
 
-def decide_exact_capacities(need, total, blockmax, config: L3DConfig,
-                            n_max: int, S: int,
+def decide_exact_capacities(need, total, blockmax, nbmax,
+                            config: L3DConfig, n_max: int, S: int,
                             k_export_per_seg: int = 8):
     """Pick the single-pass launch capacities from probe counters.
 
@@ -771,13 +773,17 @@ def decide_exact_capacities(need, total, blockmax, config: L3DConfig,
     executable reuse: m_total to the next power of two, the block quota to
     {default, 32, 128} (coarse buckets: every new (quota, m_total,
     k_export) combination is a fresh 40-160 s first-execution remote
-    compile through the TPU tunnel), and k_export to the next power of two
+    compile through the TPU tunnel), k_export to the next power of two
     of the strict gate-passing bound (verified ⊆ gate-passing, so the
-    packed export can never drop and the fallback guard never fires).
+    packed export can never drop and the fallback guard never fires), and
+    the per-neighbor second-compaction width to pow2(nbmax) when that
+    shrinks the cross-neighbor merge sort (its largest single cost at
+    exact capacities).
     """
     need_max = int(np.max(need, initial=0))
     total_max = int(np.max(total, initial=0))
     bmax = int(np.max(blockmax, initial=0))
+    nbm = int(np.max(nbmax, initial=0))
 
     quota0 = config.match_block_quota
     m0 = min(config.max_matches_per_segment, n_max * S)
@@ -796,8 +802,18 @@ def decide_exact_capacities(need, total, blockmax, config: L3DConfig,
     m_total = min(max(m_total, m0), n_max * S)
     k_export = 1 << max(int(np.ceil(np.log2(max(total_max, 1)))), 0)
     k_export = min(max(k_export, k0), S * m_total)
+    # block-compaction capacity per neighbor (same blk rule as
+    # compact_rows_blockq); the second compaction only helps if its pow2
+    # width is smaller
+    blk = 128
+    while S % blk:
+        blk //= 2
+    cap1 = (S // blk) * quota
+    nb_cap = 1 << max(int(np.ceil(np.log2(max(nbm, 1)))), 0)
+    per_nb_cap = nb_cap if nb_cap < cap1 else None
     return dict(quota=quota, m_total=m_total, k_export=k_export,
-                need=need_max, total=total_max, blockmax=bmax)
+                per_nb_cap=per_nb_cap,
+                need=need_max, total=total_max, blockmax=bmax, nbmax=nbm)
 
 
 def dispatch_matching_sharded(scene: Scene, cameras: CameraSet,
@@ -808,7 +824,8 @@ def dispatch_matching_sharded(scene: Scene, cameras: CameraSet,
                               quota_override: int | None = None,
                               k_export_override: int | None = None,
                               active_views=None, prepared=None,
-                              defer_export: bool = False):
+                              defer_export: bool = False,
+                              per_nb_cap_override: int | None = None):
     """Launch the whole-scene matching WITHOUT blocking.
 
     Returns (bufs, ctx) where bufs is a list of lazy packed [Vc, D] device
@@ -872,7 +889,8 @@ def dispatch_matching_sharded(scene: Scene, cameras: CameraSet,
                                 k_export=k_export,
                                 support_t=float(config.support_threshold),
                                 mesh=prep["mesh"], packed=True,
-                                defer_export=defer))
+                                defer_export=defer,
+                                per_nb_cap=per_nb_cap_override))
     ctx = dict(nb_ids=prep["nb_ids"], S=S, k_export=k_export,
                neighbors=neighbors, defer_export=defer)
     return bufs, ctx

@@ -453,7 +453,8 @@ def match_view_against_neighbors(segs_src, mask_src, RtKinv_src, C_src,
                                  nb_mask, quota,
                                  min_overlap_lower=0.10,
                                  min_overlap_upper=0.30,
-                                 min_capacity: int = 0):
+                                 min_capacity: int = 0,
+                                 per_nb_cap: int | None = None):
     """Match one source view against a padded stack of N neighbor views.
 
     Scans over the neighbor axis (keeps peak memory at one [Ss, St] grid);
@@ -466,6 +467,14 @@ def match_view_against_neighbors(segs_src, mask_src, RtKinv_src, C_src,
       RtKinv_nb: [N, 3, 3]; C_nb: [N, 3]; nb_mask: [N] bool (padding slots).
       quota: per-(source segment, 128-target-block) match quota; per-neighbor
         capacity is (St/128)*quota.
+      per_nb_cap: optional second key-only compaction of each neighbor's
+        table from (St/128)*quota down to this many slots (the capacity
+        probe's exact per-(segment, neighbor) bound, pow2-bucketed).  The
+        cross-neighbor merge sort then runs over N*per_nb_cap keys instead
+        of N*(St/128)*quota — at the facade's exact capacities
+        (quota=32, S=1536) the [S, 3840]-key merge was 14 ms/view, the
+        single largest stage; the short per-neighbor re-sort is ~free.
+        Drops (count > per_nb_cap) are counted in overflow.
 
     Returns dict with
       tgt_idx [N, Ss, K1], valid [N, Ss, K1], n_valid [N, Ss],
@@ -482,6 +491,8 @@ def match_view_against_neighbors(segs_src, mask_src, RtKinv_src, C_src,
     else:
         pair_fn = lambda *a: match_pair_dense(*a)[1]  # noqa: E731
 
+    St = segs_nb.shape[1]
+
     def step(carry, nb):
         segs_t, mask_t, F, RtKinv_t, C_t = nb
         valid = pair_fn(
@@ -490,6 +501,16 @@ def match_view_against_neighbors(segs_src, mask_src, RtKinv_src, C_src,
             min_overlap_lower, min_overlap_upper)
         tgt_idx, kept, n_valid = compact_rows_blockq(valid, quota,
                                                      min_capacity)
+        if per_nb_cap is not None and per_nb_cap < tgt_idx.shape[1]:
+            # second compaction: target-ascending key sort of the (short)
+            # block-compacted table, keeping the first per_nb_cap —
+            # lossless whenever every row's per-neighbor count fits
+            # (probe-guaranteed; drops land in overflow otherwise)
+            pos = jax.lax.broadcasted_iota(jnp.int32, tgt_idx.shape, 1)
+            key2 = jnp.where(kept, tgt_idx, St + pos)
+            skey2 = jax.lax.sort(key2, dimension=1)[:, :per_nb_cap]
+            kept = skey2 < St
+            tgt_idx = jnp.where(kept, skey2, -1)
         overflow = jnp.sum(n_valid) - jnp.sum(kept)
         return carry, (tgt_idx, kept, n_valid, overflow)
 

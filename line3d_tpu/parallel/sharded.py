@@ -59,7 +59,8 @@ def unpack_export(packed: np.ndarray, max_segments: int, n_slots: int):
 
 
 def _single_view_step(segments, seg_mask, args, quota, m_total, row_chunk,
-                      conf_t, sigma_p, sigma_a, k_export, support_t=0.5):
+                      conf_t, sigma_p, sigma_a, k_export, support_t=0.5,
+                      per_nb_cap=None):
     (view_idx, RtKinv_src, C_src,
      nb_ids, F_nb, RtKinv_nb, C_nb, P_nb, nb_mask,
      spatial_k, view_active) = args
@@ -76,7 +77,7 @@ def _single_view_step(segments, seg_mask, args, quota, m_total, row_chunk,
     res = pairwise.match_view_against_neighbors(
         segs_src, mask_src & view_active, RtKinv_src, C_src,
         segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, nb_mask, quota,
-        min_capacity=m_total)
+        min_capacity=m_total, per_nb_cap=per_nb_cap)
 
     cam, tgt, valid = pairwise.merge_neighbor_tables(
         res, m_total, segs_nb.shape[1])
@@ -230,13 +231,15 @@ def unpack_view_outputs(buf: np.ndarray, S: int, k_export: int,
 @functools.partial(jax.jit,
                    static_argnames=("quota", "m_total", "row_chunk",
                                     "k_export", "mesh", "axis", "packed",
-                                    "support_t", "defer_export"))
+                                    "support_t", "defer_export",
+                                    "per_nb_cap"))
 def sharded_match_all_views(segments, seg_mask, stacks,
                             sigma_p, sigma_a, conf_t,
                             quota, m_total, row_chunk, k_export,
                             mesh, axis="views", packed=False,
                             support_t: float = 0.5,
-                            defer_export: bool = False):
+                            defer_export: bool = False,
+                            per_nb_cap: int | None = None):
     """Match every view against its neighbors, sharded over `mesh`.
 
     segments [V, S, 4] / seg_mask [V, S] are replicated; `stacks` is a dict
@@ -268,7 +271,8 @@ def sharded_match_all_views(segments, seg_mask, stacks,
                 o = _single_view_step(segments, seg_mask, ordered,
                                       quota, m_total, row_chunk,
                                       conf_t, sigma_p, sigma_a, k_export,
-                                      support_t=support_t)
+                                      support_t=support_t,
+                                      per_nb_cap=per_nb_cap)
                 if packed:
                     return _pack_view_outputs(o, k_export,
                                               defer_export=defer_export)
@@ -302,8 +306,8 @@ def sharded_match_all_views(segments, seg_mask, stacks,
 def _single_view_probe(segments, seg_mask, args):
     """Capacity probe for one view: the pair gates only (the cheap ~1/3 of
     the per-view match step — no compaction, merge, depth or scoring work),
-    reduced on device to the three counters the one-pass exact launch
-    needs.  Returns [3] int32: (need, total, blockmax) where
+    reduced on device to the four counters the one-pass exact launch
+    needs.  Returns [4] int32: (need, total, blockmax, nbmax) where
       need     = max over src segments of the cross-neighbor gate-passing
                  count — the exact uncapped per-segment merge capacity
                  (the reference's unbounded list length,
@@ -311,7 +315,13 @@ def _single_view_probe(segments, seg_mask, args):
       total    = sum of gate-passing counts — a strict upper bound on the
                  view's verified-match export size,
       blockmax = max per-(src segment, 128-target-lane block) count — the
-                 exact per-block compaction quota (compact_rows_blockq).
+                 exact per-block compaction quota (compact_rows_blockq),
+      nbmax    = max per-(src segment, neighbor) count — the exact
+                 per-neighbor second-compaction width (the cross-neighbor
+                 merge sort then runs over N*pow2(nbmax) keys instead of
+                 N*(S/128)*quota; at the facade's exact capacities the
+                 [S, 3840] merge sort was 14 ms/view, the single largest
+                 stage of the one-pass step).
     """
     (view_idx, RtKinv_src, C_src,
      nb_ids, F_nb, RtKinv_nb, C_nb, nb_mask, view_active) = args
@@ -336,24 +346,26 @@ def _single_view_probe(segments, seg_mask, args):
     B = St // blk
 
     def step(carry, nb):
-        n_acc, bmax = carry
+        n_acc, bmax, nmax = carry
         segs_t, mask_t, F, RtKinv_t, C_t = nb
         valid = pair_fn(segs_src, segs_t, mask_src, mask_t,
                         F, RtKinv_src, RtKinv_t, C_src, C_t, 0.10, 0.30)
-        n_acc = n_acc + jnp.sum(valid, axis=1).astype(jnp.int32)
+        ncnt = jnp.sum(valid, axis=1).astype(jnp.int32)
+        n_acc = n_acc + ncnt
         bcnt = jnp.sum(valid.reshape(S, B, blk), axis=2)
         bmax = jnp.maximum(bmax, jnp.max(bcnt).astype(jnp.int32))
-        return (n_acc, bmax), None
+        nmax = jnp.maximum(nmax, jnp.max(ncnt))
+        return (n_acc, bmax, nmax), None
 
-    (n_raw, bmax), _ = jax.lax.scan(
-        step, (jnp.zeros(S, jnp.int32), jnp.int32(0)),
+    (n_raw, bmax, nmax), _ = jax.lax.scan(
+        step, (jnp.zeros(S, jnp.int32), jnp.int32(0), jnp.int32(0)),
         (segs_nb, mask_nb & nb_mask[:, None], F_nb, RtKinv_nb, C_nb))
-    return jnp.stack([jnp.max(n_raw), jnp.sum(n_raw), bmax])
+    return jnp.stack([jnp.max(n_raw), jnp.sum(n_raw), bmax, nmax])
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "axis"))
 def sharded_probe_all_views(segments, seg_mask, stacks, mesh, axis="views"):
-    """Chunked/sharded capacity probe: [Vc, 3] int32 per chunk (see
+    """Chunked/sharded capacity probe: [Vc, 4] int32 per chunk (see
     _single_view_probe).  Same shard_map/lax.map structure as
     sharded_match_all_views — each device probes only its own view shard
     against the replicated segment tensor, zero communication; inactive
@@ -371,7 +383,7 @@ def sharded_probe_all_views(segments, seg_mask, stacks, mesh, axis="views"):
             return jax.lax.cond(
                 args["view_active"],
                 lambda _: _single_view_probe(segments, seg_mask, ordered),
-                lambda _: jnp.zeros(3, jnp.int32), 0)
+                lambda _: jnp.zeros(4, jnp.int32), 0)
 
         return jax.lax.map(per_view, stacks_l)
 

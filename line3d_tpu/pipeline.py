@@ -442,15 +442,17 @@ class Line3D:
         if self.use_sharded_engine:
             overrides = {}
             if probe_bufs is not None:
-                need, total, bmax = engine.finalize_capacity_probe(
+                need, total, bmax, nbmax = engine.finalize_capacity_probe(
                     probe_bufs)
                 decision = engine.decide_exact_capacities(
-                    need, total, bmax, cfg, prep["n_max"], prep["S"])
+                    need, total, bmax, nbmax, cfg, prep["n_max"],
+                    prep["S"])
                 if decision is not None:
                     overrides = dict(
                         m_total_override=decision["m_total"],
                         quota_override=decision["quota"],
                         k_export_override=decision["k_export"],
+                        per_nb_cap_override=decision["per_nb_cap"],
                         # strict-bound export stays device-resident and is
                         # sliced to the actual verified size at readback
                         defer_export=True)
@@ -459,7 +461,9 @@ class Line3D:
                               f"{decision['need']} -> m_total "
                               f"{decision['m_total']}, block quota "
                               f"{decision['blockmax']} -> "
-                              f"{decision['quota']}, export "
+                              f"{decision['quota']}, per-neighbor "
+                              f"{decision['nbmax']} -> "
+                              f"{decision['per_nb_cap']}, export "
                               f"{decision['total']} -> "
                               f"{decision['k_export']}")
             # chunked dispatch; each chunk's device->host copy is queued

@@ -284,7 +284,7 @@ def test_probe_counters_match_oracle_counts():
     cams, neighbors = _setup(syn, cfg)
 
     prep = engine.prepare_sharded_matching(syn.scene, cams, neighbors, cfg)
-    need, total, bmax = engine.finalize_capacity_probe(
+    need, total, bmax, nbmax = engine.finalize_capacity_probe(
         engine.dispatch_capacity_probe(prep))
 
     ctx = engine._ViewContext(syn.scene, cams, cfg,
@@ -301,6 +301,7 @@ def test_probe_counters_match_oracle_counts():
             segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, nb_mask))
         assert need[v] == nv.sum(axis=0).max()
         assert total[v] == nv.sum()
+        assert nbmax[v] == nv.max()
 
 
 def test_fallback_off_warns(capsys):
