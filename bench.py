@@ -199,7 +199,7 @@ def _demo_match_fixture(cfg, num_views=12):
            jnp.asarray(cams.f32("C")[nb]), jnp.asarray(np.ones(N, bool)))
     src = (jnp.asarray(scene.segments[v]), jnp.asarray(scene.seg_mask[v]),
            jnp.asarray(cams.f32("RtKinv")[v]), jnp.asarray(cams.f32("C")[v]))
-    return scene, cams, src, nbd, N
+    return scene, cams, src, nbd, N, nb
 
 
 def _timed_loop(loop_fn, base, *rest, n_iter=LOOP_N):
@@ -223,7 +223,7 @@ def _bench_pair_rate(fixture):
     import jax.numpy as jnp
     from line3d_tpu.match import pairwise
 
-    scene, cams, src, nbd, N = fixture
+    scene, cams, src, nbd, N, nb = fixture
     segs_src, mask_src, RtKinv_src, C_src = src
     S = scene.max_segments
 
@@ -257,7 +257,7 @@ def _bench_pair_kernel_seconds(fixture):
     import jax.numpy as jnp
     from line3d_tpu.match import pairwise
 
-    scene, cams, src, nbd, N = fixture
+    scene, cams, src, nbd, N, nb = fixture
     segs_src, mask_src, RtKinv_src, C_src = src
     S = scene.max_segments
     if pairwise.use_pallas():
@@ -296,7 +296,7 @@ def _bench_scoring_kernel_seconds(fixture, m_total=256):
     import jax.numpy as jnp
     from line3d_tpu.match import pairwise, scoring
 
-    scene, cams, src, nbd, N = fixture
+    scene, cams, src, nbd, N, nb = fixture
     segs_src, mask_src, RtKinv_src, C_src = src
     (segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb, nb_mask) = nbd
     S = scene.max_segments
@@ -326,7 +326,7 @@ def _bench_scoring_kernel_seconds(fixture, m_total=256):
             return acc + conf.sum()
         return jax.lax.fori_loop(0, LOOP_N, body, jnp.float32(0))
 
-    P_nb = jnp.asarray(cams.f32("P")[np.arange(1, N + 1) % scene.num_views])
+    P_nb = jnp.asarray(cams.f32("P")[nb])
     per_iter = _timed_loop(
         lambda d, *a: loop(d, *a), depths, cam, tgt, valid, segs_src,
         P_nb, segs_nb)

@@ -536,7 +536,7 @@ def _build_affinity_graph_native(lib, best, allp_packed, row_lookup, key_of,
     out_tgt = np.empty(expected, np.int64)
     out_kind = np.empty(expected, np.int8)
     out_cw = np.empty(expected, np.float64)
-    cnt = lib.affinity_enumerate(
+    cnt = lib.affinity_enumerate_packed(
         key_sorted, order, len(order), pk, len(pk),
         np.ascontiguousarray(row_lookup, np.int64), ptr64,
         np.ascontiguousarray(coll_j, np.int64),
@@ -600,7 +600,7 @@ def build_affinity_graph(best: BestMatches, matches: list,
         row_lookup[key_of] = np.arange(B)
         from ..native.load import get_lib
         lib = get_lib()
-        if lib is not None and hasattr(lib, "affinity_enumerate"):
+        if lib is not None and hasattr(lib, "affinity_enumerate_packed"):
             return _build_affinity_graph_native(
                 lib, best, pk, row_lookup, key_of, collin, cams, config,
                 S, verbose)

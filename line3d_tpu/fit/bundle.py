@@ -42,6 +42,7 @@ import numpy as np
 
 def _rodrigues_jnp(w):
     """[V, 3] axis-angle -> [V, 3, 3] rotations, series-safe at ||w|| -> 0."""
+    import jax
     import jax.numpy as jnp
     th2 = jnp.sum(w * w, axis=-1)                          # [V]
     th = jnp.sqrt(jnp.maximum(th2, 1e-24))
@@ -56,7 +57,10 @@ def _rodrigues_jnp(w):
         jnp.stack([wz, zero, -wx], axis=-1),
         jnp.stack([-wy, wx, zero], axis=-1)], axis=-2)     # [V, 3, 3]
     I = jnp.eye(3, dtype=w.dtype)[None]
-    Wx2 = Wx @ Wx
+    # geometry matmul: HIGHEST precision (the default MXU path truncates
+    # f32 to bf16 — whole-pixel reprojection noise per iteration)
+    Wx2 = jnp.einsum("vij,vjk->vik", Wx, Wx,
+                     precision=jax.lax.Precision.HIGHEST)
     return I + a[:, None, None] * Wx + b[:, None, None] * Wx2
 
 
@@ -364,8 +368,10 @@ def bundle_adjust(P0, d, K, R, t, vidx, p1, p2, mask, iterations: int = 5,
     C = len(P0)
     mult = 256
     if mesh is not None:
-        n_dev = 1 << (mesh.devices.size - 1).bit_length()
-        mult = math.lcm(256, n_dev)
+        # see refine.refine_lines_device: pow2 mesh sizes share a stable
+        # bucket; the actual size must also divide the pad (even shards)
+        n = mesh.devices.size
+        mult = math.lcm(256, 1 << (n - 1).bit_length(), n)
     Cp = max(mult, ((C + mult - 1) // mult) * mult)
     padc = Cp - C
 

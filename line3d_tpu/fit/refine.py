@@ -291,13 +291,15 @@ def refine_lines_device(P0, d, Pm, p1, p2, mask, iterations: int = 5,
     C = len(P0)
     mult = 256
     if mesh is not None:
-        # round the mesh size UP to a power of two before taking the lcm:
-        # a 6- or 12-device slice would otherwise mint its own cluster-pad
-        # bucket (and a fresh 40-160 s first-execution remote compile) per
-        # distinct mesh size — pow2-stable buckets mirror the view-axis
-        # bucketing rationale (engine.dispatch_matching_sharded)
-        n_dev = 1 << (mesh.devices.size - 1).bit_length()
-        mult = math.lcm(256, n_dev)
+        # pow2-stable buckets (mirroring the view-axis bucketing
+        # rationale, engine.dispatch_matching_sharded): power-of-two mesh
+        # sizes all share the lcm(256, pow2) bucket.  The actual mesh
+        # size must ALSO divide the pad (shard_leading splits the leading
+        # axis evenly), so non-pow2 slices (6, 12, ...) fold their own
+        # size into the lcm — they get a per-size bucket, which is the
+        # price of an odd slice shape, not a crash
+        n = mesh.devices.size
+        mult = math.lcm(256, 1 << (n - 1).bit_length(), n)
     Cp = max(mult, ((C + mult - 1) // mult) * mult)
     padc = Cp - C
 

@@ -95,7 +95,7 @@ int64_t affinity_capacity(const int64_t* allp_packed, int64_t P,
 // Outputs (capacity `cap` = Na + NB + NC upper bound, caller-computed):
 //   out_src/out_tgt rows, out_kind 0=A 1=B 2=C, out_cw collinear weight.
 // Returns the number of emitted candidates.
-int64_t affinity_enumerate(
+int64_t affinity_enumerate_packed(
     const int64_t* key_sorted, const int64_t* srcrow_sorted, int64_t B,
     const int64_t* allp_packed, int64_t P,
     const int64_t* row_lookup,

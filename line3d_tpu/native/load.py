@@ -97,24 +97,30 @@ def get_lib():
                                        f64p, f64p, f64p, f64p, f64p]
         lib.region_extents.restype = None
         i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
-        if hasattr(lib, "affinity_enumerate"):
-            lib.affinity_enumerate.argtypes = [
+        # NOTE: when a C function's ABI changes, RENAME the symbol (e.g.
+        # affinity_enumerate -> affinity_enumerate_packed): the loader
+        # trusts prebuilt source-absent binaries, and the hasattr gates
+        # below are the only thing keeping a stale .so from being called
+        # with the wrong argument layout.
+        if hasattr(lib, "affinity_enumerate_packed"):
+            lib.affinity_enumerate_packed.argtypes = [
                 i64p, i64p, ctypes.c_int64,          # key_sorted, rows, B
                 i64p, ctypes.c_int64,                # allp_packed, P
                 i64p,                                # row_lookup
                 i64p, i64p, f64p,                    # coll csr
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # S, M, exp
                 i64p, i64p, i8p, f64p]               # outputs
-            lib.affinity_enumerate.restype = ctypes.c_int64
-        if hasattr(lib, "affinity_capacity"):
-            lib.affinity_capacity.argtypes = [i64p, ctypes.c_int64, i64p,
-                                              ctypes.c_int64]
-            lib.affinity_capacity.restype = ctypes.c_int64
+            lib.affinity_enumerate_packed.restype = ctypes.c_int64
+        if hasattr(lib, "affinity_similarity"):
             lib.affinity_similarity.argtypes = [
                 i64p, i64p, ctypes.c_int64,
                 f64p, f64p, f64p, f32p, f32p, i32p,
                 f64p, f64p, f64p, ctypes.c_double, f64p]
             lib.affinity_similarity.restype = None
+        if hasattr(lib, "affinity_capacity"):
+            lib.affinity_capacity.argtypes = [i64p, ctypes.c_int64, i64p,
+                                              ctypes.c_int64]
+            lib.affinity_capacity.restype = ctypes.c_int64
         if hasattr(lib, "affinity_finalize"):
             lib.affinity_finalize.argtypes = [
                 i64p, i64p, i8p, f64p, ctypes.c_int64,   # candidates

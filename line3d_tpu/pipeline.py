@@ -360,6 +360,7 @@ class Line3D:
             raise ValueError("not enough images (need >= 4)")
 
         t0 = time.time()
+        self.refined_poses = None     # never leak a previous run's BA poses
         self._build_scene()
         scene, cams = self.scene, self.cameras
 

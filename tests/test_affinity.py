@@ -117,7 +117,7 @@ def test_native_enumerator_matches_loop_and_vec(monkeypatch):
     by libm-vs-numpy exp ulps (covered by the rounded fingerprint)."""
     from line3d_tpu.native import load as native_load
     if native_load.get_lib() is None or \
-            not hasattr(native_load.get_lib(), "affinity_enumerate"):
+            not hasattr(native_load.get_lib(), "affinity_enumerate_packed"):
         import pytest
         pytest.skip("native library unavailable")
 
