@@ -404,9 +404,16 @@ def bundle_adjust(P0, d, K, R, t, vidx, p1, p2, mask, iterations: int = 5,
     else:
         fn = _jits.plain()
 
-    P0f, df, Rf, tf, rms_b, rms_a = fn(
-        *args, it=int(iterations), hd=float(huber_delta),
-        dp=float(damping))
+    out = fn(*args, it=int(iterations), hd=float(huber_delta),
+             dp=float(damping))
+    if mesh is not None:
+        import jax
+        if jax.process_count() > 1:
+            # line outputs are cluster-sharded (partly non-addressable on
+            # each host); replicate before materializing
+            from ..parallel import multihost
+            out = multihost.replicate(mesh, out)
+    P0f, df, Rf, tf, rms_b, rms_a = out
     return (np.asarray(P0f[:C], np.float64), np.asarray(df[:C], np.float64),
             np.asarray(Rf, np.float64), np.asarray(tf, np.float64),
             float(rms_b), float(rms_a))

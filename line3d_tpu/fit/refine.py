@@ -325,9 +325,15 @@ def refine_lines_device(P0, d, Pm, p1, p2, mask, iterations: int = 5,
         from ..parallel.mesh import shard_leading
         args = tuple(shard_leading(mesh, a) for a in args)
 
-    P0f, df, rms_b, rms_a = _refine_jit(
+    out = _refine_jit(
         *args, iterations=int(iterations), huber_delta=float(huber_delta),
         damping=float(damping))
+    if mesh is not None and jax.process_count() > 1:
+        # sharded outputs are partly non-addressable on each host;
+        # replicate so every process can materialize them
+        from ..parallel import multihost
+        out = multihost.replicate(mesh, out)
+    P0f, df, rms_b, rms_a = out
     return (np.asarray(P0f[:C], np.float64), np.asarray(df[:C], np.float64),
             np.asarray(rms_b[:C], np.float64),
             np.asarray(rms_a[:C], np.float64))

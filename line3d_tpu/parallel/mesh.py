@@ -50,6 +50,14 @@ def pad_views_to_mesh(num_views: int, mesh: Mesh, axis: str = "views",
 
 
 def shard_leading(mesh: Mesh, x, axis: str = "views"):
-    """Place an array with its leading dim sharded over `axis`."""
+    """Place an array with its leading dim sharded over `axis`.
+
+    Multi-process meshes route through multihost.globalize (a plain
+    device_put of a host-local array is rejected under a multi-process
+    mesh; every process holds the same full array in this codebase's
+    host-replicated flow, so each device just reads its slice)."""
     spec = P(axis, *([None] * (np.ndim(x) - 1)))
+    if jax.process_count() > 1:
+        from . import multihost
+        return multihost.globalize(mesh, spec, x)
     return jax.device_put(x, NamedSharding(mesh, spec))

@@ -61,3 +61,31 @@ np.savez(os.path.join(outdir, f"pipe_{pid}.npz"),
          if result else np.zeros(0, np.int32))
 print(f"[multihost_pipeline_worker {pid}] OK {len(result)} lines",
       flush=True)
+
+# second leg: joint camera+line bundle adjustment over the SAME global
+# mesh — the cluster axis shards across both processes and the reduced
+# [6V, 6V] camera system arrives by psum over gloo (the north star's
+# Schur-complement reduction, here over the DCN stand-in)
+cfg_ba = dataclasses.replace(cfg, perform_diffusion=False,
+                             use_collinearity=False,
+                             bundle_adjust_cameras=True,
+                             bundle_iterations=2,
+                             refine_backend="device")
+l3d_ba = Line3D(config=cfg_ba)
+for v in range(syn.scene.num_views):
+    l3d_ba.add_view_segments(
+        v, syn.scene.segments[v][syn.scene.seg_mask[v]],
+        syn.cameras.K[v].copy(), syn.cameras.R[v].copy(),
+        syn.cameras.t[v].copy(), worldpoint_ids=syn.wp_lists[v],
+        width=int(syn.cameras.width[v]), height=int(syn.cameras.height[v]))
+res_ba = l3d_ba.compute_3d_model()
+assert l3d_ba.refined_poses is not None
+Rf, tf = l3d_ba.refined_poses
+np.savez(os.path.join(outdir, f"ba_{pid}.npz"),
+         n_lines=np.int32(len(res_ba)),
+         R=Rf, t=tf,
+         rms_before=np.float64(l3d_ba.stats["ba_rms_before"]),
+         rms_after=np.float64(l3d_ba.stats["ba_rms_after"]))
+print(f"[multihost_pipeline_worker {pid}] BA OK "
+      f"rms {l3d_ba.stats['ba_rms_before']:.3f} -> "
+      f"{l3d_ba.stats['ba_rms_after']:.3f}", flush=True)

@@ -115,7 +115,7 @@ def test_two_process_full_pipeline(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=600)
+            out, _ = p.communicate(timeout=900)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -159,3 +159,15 @@ def test_two_process_full_pipeline(tmp_path):
         o0["segments3d"],
         np.concatenate([r.segments3d.reshape(-1, 6) for r in result]),
         rtol=1e-5, atol=1e-6)
+
+    # BA leg: both processes' Schur-reduced camera solves (cluster axis
+    # sharded ACROSS the processes, reduced system psum'd over gloo) must
+    # agree with each other and improve-or-hold the reprojection rms
+    b0 = dict(np.load(tmp_path / "ba_0.npz"))
+    b1 = dict(np.load(tmp_path / "ba_1.npz"))
+    for k in b0:
+        np.testing.assert_array_equal(b0[k], b1[k], err_msg=k)
+    assert float(b0["rms_after"]) <= float(b0["rms_before"]) + 1e-6
+    assert int(b0["n_lines"]) > 0
+    V = 8
+    assert b0["R"].shape == (V, 3, 3) and b0["t"].shape == (V, 3)
