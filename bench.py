@@ -276,7 +276,8 @@ def _bench_pair_kernel_seconds(fixture):
                 segs_t, mask_t, F, RtKinv_t, C_t = nb
                 valid = pair_fn(x, segs_t, mask_src, mask_t, F,
                                 RtKinv_src, RtKinv_t, C_src, C_t,
-                                0.10, 0.30)
+                                pairwise.MIN_OVERLAP_LOWER,
+                                pairwise.MIN_OVERLAP_UPPER)
                 return carry + jnp.sum(valid).astype(jnp.float32), None
 
             acc2, _ = jax.lax.scan(

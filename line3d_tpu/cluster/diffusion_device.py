@@ -112,18 +112,36 @@ def build_plan(edges_i, edges_j, edges_w, num_nodes,
     return plan
 
 
+def _make_row_normalize(ri_seg, num_nodes, eps):
+    """Shared row normalization (cudawrapper.cu:736-760, eps clamp
+    745-746) — ONE formulation for both device modes so the semantics
+    stay locked to the host twins."""
+    def row_normalize(pv):
+        sums = jax.ops.segment_sum(pv, ri_seg, num_segments=num_nodes + 1,
+                                   indices_are_sorted=True)
+        sums = jnp.maximum(sums, eps)
+        return pv / sums[ri_seg]
+    return row_normalize
+
+
+def _run_iterations(rw, row_normalize, body, iterations, order_col):
+    """Shared iteration scaffold: iterations==0 still row-normalizes once
+    (matching the host twins' pre-loop normalize), then min-symmetrizes
+    (performDiffusion, line3D.cc:1264-1299)."""
+    if iterations == 0:
+        pv = row_normalize(rw)
+    else:
+        pv = jax.lax.fori_loop(0, iterations, body, rw)
+    return jnp.minimum(pv, pv[order_col])
+
+
 @partial(jax.jit,
          static_argnames=("num_nodes", "iterations", "max_degree", "eps"))
 def _diffuse_kernel(rw, wv_col, ri_seg, rowstart_j, colstart_i, mindeg,
                     order_col, *, num_nodes, iterations, max_degree,
                     eps=1e-12):
     eps = jnp.float32(eps)
-
-    def row_normalize(pv):
-        sums = jax.ops.segment_sum(pv, ri_seg, num_segments=num_nodes + 1,
-                                   indices_are_sorted=True)
-        sums = jnp.maximum(sums, eps)       # cudawrapper.cu:745-746
-        return pv / sums[ri_seg]
+    row_normalize = _make_row_normalize(ri_seg, num_nodes, eps)
 
     def lockstep_dot(pv):
         def tbody(t, dot):
@@ -138,13 +156,7 @@ def _diffuse_kernel(rw, wv_col, ri_seg, rowstart_j, colstart_i, mindeg,
         newv = jnp.maximum(pv * lockstep_dot(pv), eps)  # cudawrapper.cu:805
         return newv[order_col]              # write-to-transpose as a gather
 
-    if iterations == 0:
-        # host twin still row-normalizes once before its (empty) loop
-        pv = row_normalize(rw)
-    else:
-        pv = jax.lax.fori_loop(0, iterations, body, rw)
-    # min-symmetrize (performDiffusion, line3D.cc:1264-1299)
-    return jnp.minimum(pv, pv[order_col])
+    return _run_iterations(rw, row_normalize, body, iterations, order_col)
 
 
 @partial(jax.jit,
@@ -173,12 +185,7 @@ def _diffuse_true_kernel(rw, wv_col, ri_seg, base_j, base_i,
     """
     eps = jnp.float32(eps)
     BIG = jnp.int32(num_nodes)
-
-    def row_normalize(pv):
-        sums = jax.ops.segment_sum(pv, ri_seg, num_segments=num_nodes + 1,
-                                   indices_are_sorted=True)
-        sums = jnp.maximum(sums, eps)
-        return pv / sums[ri_seg]
+    row_normalize = _make_row_normalize(ri_seg, num_nodes, eps)
 
     def true_dot(pv):
         """dot_e = Σ_k P[i_e, k] · W[k, j_e] (merge walk)."""
@@ -209,11 +216,7 @@ def _diffuse_true_kernel(rw, wv_col, ri_seg, base_j, base_i,
         # positions == gather form pv ∘ dot[order_col], clamped
         return jnp.maximum(pv * dot[order_col], eps)
 
-    if iterations == 0:
-        pv = row_normalize(rw)
-    else:
-        pv = jax.lax.fori_loop(0, iterations, body, rw)
-    return jnp.minimum(pv, pv[order_col])
+    return _run_iterations(rw, row_normalize, body, iterations, order_col)
 
 
 def diffuse_true_device(edges_i, edges_j, edges_w, num_nodes,

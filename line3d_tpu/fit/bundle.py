@@ -125,8 +125,13 @@ def _bundle_jit(P0, d, K, R0, t0, vidx, p1, p2, mask, iterations: int,
         u1 = u1 / jnp.linalg.norm(u1, axis=1, keepdims=True)
         return u1, jnp.cross(dv, u1)
 
-    n_res_local = jnp.maximum(mask.sum() * 2, 1).astype(P0.dtype)
-    n_res = jax.lax.psum(n_res_local, axis) if axis else n_res_local
+    # psum the raw count FIRST, clamp once: flooring per shard would add a
+    # phantom residual per all-padding shard and make the reported rms
+    # mesh-dependent
+    n_res_raw = (mask.sum() * 2).astype(P0.dtype)
+    if axis:
+        n_res_raw = jax.lax.psum(n_res_raw, axis)
+    n_res = jnp.maximum(n_res_raw, 1)
 
     def global_rms(P0_, d_, th_):
         r, _ = _bundle_residuals(P0_, d_, K, R0, t0, th_, vidx, p1, p2,
@@ -140,10 +145,13 @@ def _bundle_jit(P0, d, K, R0, t0, vidx, p1, p2, mask, iterations: int,
     # coordinates are identity in S and zero in g
     pin = jnp.zeros(Q, bool).at[:6].set(True)
 
-    def one_iteration(P0c, dc, Rc_acc, tc_acc):
+    def one_iteration(P0c, dc, Rc_acc, tc_acc, rms_cur):
         """One damped GN step at the current linearization point.
         Rc_acc/tc_acc are the ACCUMULATED camera increments folded into the
-        pose so far; theta re-linearizes at zero each iteration."""
+        pose so far; theta re-linearizes at zero each iteration.  rms_cur
+        is the incumbent state's rms carried through the loop — the accept
+        gate and the final report reuse it instead of re-evaluating a full
+        residual pass (one pass + cross-shard psum per iteration saved)."""
         u1, u2 = orthobasis(dc)
         R_cur = Rc_acc
         t_cur = tc_acc
@@ -279,27 +287,19 @@ def _bundle_jit(P0, d, K, R0, t0, vidx, p1, p2, mask, iterations: int,
                 ss = jax.lax.psum(ss, axis)
             return jnp.sqrt(ss / n_res)
 
-        rms_old = rms_at(P0c, dc, R_cur, t_cur)
-        better = rms_at(P0n, dn, Rn, tn) < rms_old
+        rms_new = rms_at(P0n, dn, Rn, tn)
+        better = rms_new < rms_cur
         return (jnp.where(better, P0n, P0c), jnp.where(better, dn, dc),
-                jnp.where(better, Rn, R_cur), jnp.where(better, tn, t_cur))
+                jnp.where(better, Rn, R_cur), jnp.where(better, tn, t_cur),
+                jnp.where(better, rms_new, rms_cur))
 
     zt0 = jnp.zeros((V, 6), P0.dtype)
     rms_before = global_rms(P0, d, zt0)
-    state = (P0, d, R0, t0)
+    state = (P0, d, R0, t0, rms_before)
     for _ in range(iterations):
         state = one_iteration(*state)
-    P0f, df, Rf, tf = state
-
-    def rms_final():
-        r, _ = _bundle_residuals(P0f, df, K, Rf, tf, zt0, vidx, p1, p2,
-                                 mask)
-        ss = (r ** 2).sum()
-        if axis:
-            ss = jax.lax.psum(ss, axis)
-        return jnp.sqrt(ss / n_res)
-
-    return P0f, df, Rf, tf, rms_before, rms_final()
+    P0f, df, Rf, tf, rms_after = state
+    return P0f, df, Rf, tf, rms_before, rms_after
 
 
 class _LazyBundleJit:

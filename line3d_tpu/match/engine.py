@@ -344,7 +344,9 @@ def _count_view_matches(segs_src, mask_src, RtKinv_src, C_src,
     def step(carry, nb):
         segs_t, mask_t, F, RtKinv_t, C_t = nb
         valid = pair_fn(segs_src, segs_t, mask_src, mask_t,
-                        F, RtKinv_src, RtKinv_t, C_src, C_t, 0.10, 0.30)
+                        F, RtKinv_src, RtKinv_t, C_src, C_t,
+                        pairwise.MIN_OVERLAP_LOWER,
+                        pairwise.MIN_OVERLAP_UPPER)
         return carry, jnp.sum(valid, axis=1).astype(jnp.int32)
 
     _, nv = jax.lax.scan(
@@ -744,8 +746,9 @@ def _dispatch_chunks(prep, launch):
 
 
 def dispatch_capacity_probe(prep):
-    """Launch the chunked capacity-probe program (pair gates only, [Vc, 3]
-    int32 per chunk — sharded.sharded_probe_all_views) WITHOUT blocking.
+    """Launch the chunked capacity-probe program (pair gates only, [Vc, 4]
+    int32 counters (need, total, blockmax, nbmax) per chunk —
+    sharded.sharded_probe_all_views) WITHOUT blocking.
     Returns the list of lazy chunk buffers."""
     from ..parallel import sharded
 
@@ -785,30 +788,37 @@ def decide_exact_capacities(need, total, blockmax, nbmax,
     bmax = int(np.max(blockmax, initial=0))
     nbm = int(np.max(nbmax, initial=0))
 
-    quota0 = config.match_block_quota
-    m0 = min(config.max_matches_per_segment, n_max * S)
-    k0 = min(S * k_export_per_seg, S * m0)
-    if need_max <= m0 and bmax <= quota0 and total_max <= k0:
-        return None
-
-    quota = quota0
-    for q in (quota0, 32, 128):
-        if q >= bmax:
-            quota = q
-            break
-    else:
-        quota = 128
-    m_total = 1 << max(int(np.ceil(np.log2(max(need_max, 1)))), 0)
-    m_total = min(max(m_total, m0), n_max * S)
-    k_export = 1 << max(int(np.ceil(np.log2(max(total_max, 1)))), 0)
-    k_export = min(max(k_export, k0), S * m_total)
-    # block-compaction capacity per neighbor (same blk rule as
-    # compact_rows_blockq); the second compaction only helps if its pow2
-    # width is smaller
+    # compact_rows_blockq raises the per-block quota to cover min_capacity
+    # (= m_total) and caps it at the block width; the lossless test must
+    # use that EFFECTIVE quota, or views that already fit the (pre-warmed)
+    # default launch would trigger an override dispatch and pay a fresh
+    # 40-160 s first-execution remote compile
     blk = 128
     while S % blk:
         blk //= 2
-    cap1 = (S // blk) * quota
+    B = S // blk
+
+    def eff_quota(q, m):
+        return min(max(q, -(-m // B)), blk)
+
+    quota0 = config.match_block_quota
+    m0 = min(config.max_matches_per_segment, n_max * S)
+    k0 = min(S * k_export_per_seg, S * m0)
+    if need_max <= m0 and bmax <= eff_quota(quota0, m0) and total_max <= k0:
+        return None
+
+    m_total = 1 << max(int(np.ceil(np.log2(max(need_max, 1)))), 0)
+    m_total = min(max(m_total, m0), n_max * S)
+    quota = 128
+    for q in (quota0, 32, 128):
+        if eff_quota(q, m_total) >= bmax:
+            quota = q
+            break
+    k_export = 1 << max(int(np.ceil(np.log2(max(total_max, 1)))), 0)
+    k_export = min(max(k_export, k0), S * m_total)
+    # block-compaction capacity per neighbor at the LAUNCH capacities; the
+    # second compaction only helps if its pow2 width is smaller
+    cap1 = B * eff_quota(quota, m_total)
     nb_cap = 1 << max(int(np.ceil(np.log2(max(nbm, 1)))), 0)
     per_nb_cap = nb_cap if nb_cap < cap1 else None
     return dict(quota=quota, m_total=m_total, k_export=k_export,

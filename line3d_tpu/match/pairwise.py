@@ -23,11 +23,18 @@ import jax.numpy as jnp
 
 from ..core import geometry as g
 
+# epipolar-overlap gate defaults (cudawrapper.cu:512-520: at least 10% on
+# both segments, 30% on one).  The capacity probe and the benchmarks gate
+# with the SAME constants — the probe's exactness guarantee ("same pair
+# kernel, same inputs as the mainline") holds only if these never drift.
+MIN_OVERLAP_LOWER = 0.10
+MIN_OVERLAP_UPPER = 0.30
+
 
 def match_pair_dense_reference(segs_src, segs_tgt, mask_src, mask_tgt,
                                F, RtKinv_src, RtKinv_tgt, C_src, C_tgt,
-                               min_overlap_lower=0.10,
-                               min_overlap_upper=0.30):
+                               min_overlap_lower=MIN_OVERLAP_LOWER,
+                               min_overlap_upper=MIN_OVERLAP_UPPER):
     """Readable array-of-structs formulation built from core.geometry.
 
     Used as the semantic reference in tests; the production kernel below is
@@ -120,7 +127,8 @@ def _overlap_soa(ax, ay, bx, by, cx, cy, dx, dy):
 
 def match_pair_dense(segs_src, segs_tgt, mask_src, mask_tgt,
                      F, RtKinv_src, RtKinv_tgt, C_src, C_tgt,
-                     min_overlap_lower=0.10, min_overlap_upper=0.30):
+                     min_overlap_lower=MIN_OVERLAP_LOWER,
+                     min_overlap_upper=MIN_OVERLAP_UPPER):
     """Dense pair matching for one (src, tgt) view pair — SoA layout.
 
     Args:
@@ -451,8 +459,8 @@ def use_pallas() -> bool:
 def match_view_against_neighbors(segs_src, mask_src, RtKinv_src, C_src,
                                  segs_nb, mask_nb, F_nb, RtKinv_nb, C_nb,
                                  nb_mask, quota,
-                                 min_overlap_lower=0.10,
-                                 min_overlap_upper=0.30,
+                                 min_overlap_lower=MIN_OVERLAP_LOWER,
+                                 min_overlap_upper=MIN_OVERLAP_UPPER,
                                  min_capacity: int = 0,
                                  per_nb_cap: int | None = None):
     """Match one source view against a padded stack of N neighbor views.

@@ -349,7 +349,9 @@ def _single_view_probe(segments, seg_mask, args):
         n_acc, bmax, nmax = carry
         segs_t, mask_t, F, RtKinv_t, C_t = nb
         valid = pair_fn(segs_src, segs_t, mask_src, mask_t,
-                        F, RtKinv_src, RtKinv_t, C_src, C_t, 0.10, 0.30)
+                        F, RtKinv_src, RtKinv_t, C_src, C_t,
+                        pairwise.MIN_OVERLAP_LOWER,
+                        pairwise.MIN_OVERLAP_UPPER)
         ncnt = jnp.sum(valid, axis=1).astype(jnp.int32)
         n_acc = n_acc + ncnt
         bcnt = jnp.sum(valid.reshape(S, B, blk), axis=2)

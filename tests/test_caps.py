@@ -323,3 +323,41 @@ def test_fallback_off_warns(capsys):
     assert "WARNING" in out and "gate-passing" in out
     assert l3d.stats["match_overflow"] > 0
     assert l3d.stats["views_rematched_uncapped"] == 0
+
+
+def test_decide_exact_capacities_effective_quota():
+    """decide_exact_capacities must test losslessness against the EFFECTIVE
+    block quota (compact_rows_blockq raises the per-block quota to
+    ceil(m_total/B) and caps it at the block width), not the raw config
+    quota — otherwise views that already fit the pre-warmed default launch
+    trigger an override dispatch and a fresh first-execution remote
+    compile."""
+    cfg = L3DConfig()            # match_block_quota=8, m=256
+    S, n_max = 3072, 10          # B = 24 blocks of 128 -> eff quota 11
+
+    def mk(need, total, bmax, nbmax):
+        return engine.decide_exact_capacities(
+            np.array([need]), np.array([total]),
+            np.array([bmax]), np.array([nbmax]), cfg, n_max, S)
+
+    # bmax 11 fits ceil(256/24)=11 under the default launch: no override
+    assert mk(need=256, total=100, bmax=11, nbmax=40) is None
+    # bmax 12 exceeds it: override, and the chosen bucket must cover it
+    d = mk(need=256, total=100, bmax=12, nbmax=40)
+    assert d is not None
+    B = S // 128
+    eff = min(max(d["quota"], -(-d["m_total"] // B)), 128)
+    assert eff >= 12
+    # per_nb_cap compares against the LAUNCH capacity.  Quota-dominated
+    # launch (quota=32 at m_total=256 -> width 24*32=768): nbmax=600
+    # (pow2 1024) offers no shrink, nbmax=300 (pow2 512) does
+    d = mk(need=256, total=100, bmax=12, nbmax=600)
+    assert d is not None and d["per_nb_cap"] is None
+    d = mk(need=256, total=100, bmax=12, nbmax=300)
+    assert d is not None and d["per_nb_cap"] == 512
+    # min_capacity-dominated launch (need=1024 raises the effective quota
+    # to ceil(1024/24)=43 -> width 1032, NOT the raw-quota 24*8=192):
+    # nbmax=200 (pow2 256) must still engage the second compaction —
+    # the old raw-quota comparison (256 >= 192) wrongly skipped it
+    d = mk(need=1024, total=20000, bmax=30, nbmax=200)
+    assert d is not None and d["per_nb_cap"] == 256
