@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import time
 
 import numpy as np
 import jax
@@ -954,43 +955,60 @@ def warmup_matching_sharded(num_views: int, max_segments: int,
 
 def finalize_matching_sharded(bufs, ctx, scene: Scene, cameras: CameraSet,
                               config: L3DConfig, verbose: bool = False,
-                              only_views=None):
+                              only_views=None, timings: dict | None = None):
     """Read back dispatch_matching_sharded chunk buffers and rebuild the
     ViewMatches / BestMatches structures (blocks on the device).
 
     `only_views` restricts decoding to a view subset (the sharded uncapped
     rematch — rows of inactive views are dead-branch zeros and must not be
-    decoded)."""
+    decoded).  `timings` (optional dict) receives the wall-time split:
+    t_match_rows (blocking on the chunked executions' row buffers — the
+    device execution critical path), t_match_export (export slice +
+    transfer), t_match_decode (host decode + f64 best rows)."""
     from ..parallel import sharded
 
     V = scene.num_views
     if bufs is None:
         return [], _empty_best(), np.ones(V)
+    tm0 = time.perf_counter()
     S, k_export = ctx["S"], ctx["k_export"]
     neighbors, nb_ids = ctx["neighbors"], ctx["nb_ids"]
+    exp_flat = exp_offs = None
     if ctx.get("defer_export"):
         # two-step readback: the small rows first (they carry n_verified),
-        # then the device-resident export planes sliced to the actual
-        # pow2-bucketed max verified count — the exact path's strict
-        # gate-passing bound would otherwise ship 4-8x the real data over
-        # the ~20-40 MB/s tunnel link
+        # then the device-resident export planes ragged-concatenated into
+        # ONE flat buffer of exactly the verified entries (pow2-bucketed
+        # sum) — the exact path's strict gate-passing bound would
+        # otherwise ship 4-8x the real data over the ~20-40 MB/s tunnel
+        # link, and even the per-view rectangular slice ships
+        # Vp * pow2(max-per-view) (~2x the sum at typical view variance)
+        # in one transfer per chunk (~28 ms fixed overhead each)
         rows = [np.asarray(b[0]) for b in bufs]
         rows = rows[0] if len(rows) == 1 else np.concatenate(rows)
-        nver = rows.view(np.int32)[:, -4]   # n_verified column
-        k_act = 1 << max(int(np.ceil(np.log2(max(int(nver.max()), 1)))), 6)
-        k_act = min(k_act, k_export)
-        slices = [sharded.slice_export(b[1], k_act) for b in bufs]
-        for s in slices:
-            if hasattr(s, "copy_to_host_async"):
-                s.copy_to_host_async()
-        exp = np.concatenate([np.asarray(s) for s in slices]) \
-            if len(slices) > 1 else np.asarray(slices[0])
-        out = sharded.unpack_view_outputs(rows, S, k_act, exp_packed=exp)
+        tm1 = time.perf_counter()
+        nver = np.minimum(rows.view(np.int32)[:, -4], k_export)  # n_verified
+        total = int(nver.sum())
+        k_flat = 1 << max(int(np.ceil(np.log2(max(total, 1)))), 10)
+        k_flat = min(k_flat, len(nver) * k_export)
+        flat = sharded.flatpack_export(nver, *[b[1] for b in bufs],
+                                       k_flat=k_flat)
+        if hasattr(flat, "copy_to_host_async"):
+            flat.copy_to_host_async()
+        exp_flat = np.asarray(flat)[:total]
+        exp_offs = np.concatenate([[0], np.cumsum(nver)]).astype(np.int64)
+        tm2 = time.perf_counter()
+        out = sharded.unpack_view_outputs(
+            rows, S, 0, exp_packed=np.zeros((rows.shape[0], 0), np.int32))
     else:
         chunks = [np.asarray(b) for b in bufs]  # chunk order = retire order
+        tm1 = tm2 = time.perf_counter()
         out = sharded.unpack_view_outputs(
             chunks[0] if len(chunks) == 1 else np.concatenate(chunks),
             S, k_export)
+    if timings is not None:
+        timings["t_match_rows"] = tm1 - tm0
+        timings["t_match_export"] = tm2 - tm1
+        timings["_t_decode_start"] = time.perf_counter()
 
     median_depths = np.ones(V)
     views_iter = [v for v in (range(V) if only_views is None
@@ -1009,11 +1027,23 @@ def finalize_matching_sharded(bufs, ctx, scene: Scene, cameras: CameraSet,
     # (the per-view loop's numpy overhead was ~0.4 s at 25 views and
     # O(V) at the 1000-view scale), then slice per view
     n_slots = nb_ids.shape[1]
-    packed_all = out["exp_packed"][va]
-    valid = packed_all >= 0
-    counts = valid.sum(axis=1)
-    src_a, cam_a, tgt_a = sharded.unpack_export(packed_all[valid], S,
-                                                n_slots)
+    if exp_flat is not None:
+        # flat layout: entries already valid and in global view order;
+        # take the active views' [exp_offs[v], exp_offs[v]+nver[v]) runs
+        counts = nver[va]
+        if len(va) == len(nver) or counts.sum() == len(exp_flat):
+            packed_sel = exp_flat
+        else:
+            packed_sel = np.concatenate(
+                [exp_flat[exp_offs[v]:exp_offs[v + 1]] for v in va]) \
+                if len(va) else exp_flat[:0]
+        src_a, cam_a, tgt_a = sharded.unpack_export(packed_sel, S, n_slots)
+    else:
+        packed_all = out["exp_packed"][va]
+        valid = packed_all >= 0
+        counts = valid.sum(axis=1)
+        src_a, cam_a, tgt_a = sharded.unpack_export(packed_all[valid], S,
+                                                    n_slots)
     tgtv_a = nb_ids[np.repeat(va, counts), cam_a].astype(np.int32)
     offs = np.concatenate([[0], np.cumsum(counts)])
 
@@ -1047,6 +1077,9 @@ def finalize_matching_sharded(bufs, ctx, scene: Scene, cameras: CameraSet,
             out["best_tgt"][va][vi, si])])
     else:
         best = _empty_best()
+    if timings is not None:
+        timings["t_match_decode"] = \
+            time.perf_counter() - timings.pop("_t_decode_start")
     return all_matches, best, median_depths
 
 

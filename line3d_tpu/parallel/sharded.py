@@ -151,8 +151,16 @@ def device_select(cam, tgt, depths, valid, conf, conf_t, k_export,
     sbits, cbits = export_bits(S_, n_slots)
     flat_keep = keep.reshape(S_ * M_)
     k_export = min(k_export, S_ * M_)
-    _, exp_sel = jax.lax.top_k(flat_keep.astype(jnp.int32), k_export)
-    exp_valid = jnp.take_along_axis(flat_keep, exp_sel, axis=0)
+    # ascending single-operand key sort replaces lax.top_k: key = flat
+    # index for keep entries, S*M for the rest, so the sorted prefix is
+    # the same ascending-index front-packing top_k produced.  TopK at
+    # k ~ S*M/3 lowers to ~17 ms/view of fusions + internal copies at the
+    # exact-path capacities (profiled); the flat i32 sort is ~1-2 ms
+    BIG = jnp.int32(S_ * M_)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (S_ * M_,), 0)
+    exp_sel_raw = jax.lax.sort(jnp.where(flat_keep, idx, BIG))[:k_export]
+    exp_valid = exp_sel_raw < BIG
+    exp_sel = jnp.where(exp_valid, exp_sel_raw, 0)
     exp_src = (exp_sel // M_).astype(jnp.int32)
     exp_cam = jnp.take_along_axis(cam.reshape(-1), exp_sel, axis=0)
     exp_tgt = jnp.take_along_axis(tgt.reshape(-1), exp_sel, axis=0)
@@ -402,6 +410,37 @@ def slice_export(exp, k: int):
     device_select, so any k >= the max per-view verified count is
     lossless)."""
     return exp[:, :k]
+
+
+@functools.partial(jax.jit, static_argnames=("k_flat",))
+def flatpack_export(nver, *exps, k_flat: int):
+    """Ragged-concat the valid prefixes of the deferred-export planes
+    (one [Vc, K] per chunk) into ONE flat [k_flat] buffer in global view
+    order.
+
+    Each plane row is front-packed by device_select's top_k, and
+    n_verified (from the already-transferred row buffers) gives the exact
+    valid prefix length per view — so the flat buffer carries exactly the
+    verified entries (k_flat = pow2 bucket of their sum), instead of
+    Vp * pow2(max-per-view) under the per-view rectangular slice.  One
+    program + one device->host copy also replaces one slice + copy per
+    chunk (each transfer through the tunnel pays ~28 ms fixed overhead).
+    Entries beyond the real total are -1 (the host slices them off)."""
+    exp = exps[0] if len(exps) == 1 else jnp.concatenate(exps, axis=0)
+    Vp, K = exp.shape
+    cnt = jnp.minimum(nver, K)
+    off = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                           jnp.cumsum(cnt).astype(jnp.int32)])
+    i = jnp.arange(k_flat, dtype=jnp.int32)
+    # view of flat position i = #{v : off[v+1] <= i} (a [Vp, k_flat]
+    # compare-reduce; off is tiny, and this avoids a scan-lowered binary
+    # search on TPU)
+    v = jnp.clip(jnp.sum((off[1:, None] <= i[None, :]).astype(jnp.int32),
+                         axis=0), 0, Vp - 1)
+    j = i - off[v]
+    ok = i < off[Vp]
+    idx = v * K + jnp.minimum(j, K - 1)
+    return jnp.where(ok, exp.reshape(-1)[idx], jnp.int32(-1))
 
 
 def build_stacks(scene: Scene, cameras: CameraSet, neighbors: list,

@@ -440,11 +440,14 @@ class Line3D:
         # batches the whole scene into one dispatch (and shards it when a
         # mesh is present); the per-view engine is kept for
         # exactness-without-caps runs.
+        fine_t = {}
         if self.use_sharded_engine:
             overrides = {}
             if probe_bufs is not None:
+                tp0 = time.time()
                 need, total, bmax, nbmax = engine.finalize_capacity_probe(
                     probe_bufs)
+                fine_t["t_probe_wait"] = time.time() - tp0
                 decision = engine.decide_exact_capacities(
                     need, total, bmax, nbmax, cfg, prep["n_max"],
                     prep["S"])
@@ -469,16 +472,21 @@ class Line3D:
                               f"{decision['k_export']}")
             # chunked dispatch; each chunk's device->host copy is queued
             # inside and overlaps the next chunk's execution
+            td0 = time.time()
             buf, mctx = engine.dispatch_matching_sharded(
                 scene, cams, self.neighbors, cfg, prepared=prep,
                 **overrides)
+            fine_t["t_match_dispatch"] = time.time() - td0
             if cfg.use_collinearity:
+                tc0 = time.time()
                 scene.collin = collinearity_finalize_chunked(
                     coll_chunks, max_segments=scene.max_segments,
                     num_views=scene.num_views, verbose=self.verbose)
+                fine_t["t_coll_finalize"] = time.time() - tc0
             t1 = time.time()
             matches, best, med = engine.finalize_matching_sharded(
-                buf, mctx, scene, cams, cfg, verbose=self.verbose)
+                buf, mctx, scene, cams, cfg, verbose=self.verbose,
+                timings=fine_t)
             self._warmup_refs = []   # warmed executables now in jit cache
         else:
             if cfg.use_collinearity:
@@ -599,6 +607,10 @@ class Line3D:
             probe_k_export=int(decision["k_export"]) if decision else 0,
             collinearity_overflow=coll_overflow,
             views_recollin_exact=int(n_recollin))
+        # fine-grained match-stage split (sharded engine only): probe
+        # readback wait, dispatch, collinearity finalize, row-buffer wait
+        # (device exec critical path), export transfer, host decode
+        self.stats.update(fine_t)
         if ba_info:
             self.stats["ba_rms_before"] = ba_info.get("ba_rms_before")
             self.stats["ba_rms_after"] = ba_info.get("ba_rms_after")
