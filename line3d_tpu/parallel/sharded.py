@@ -151,20 +151,25 @@ def device_select(cam, tgt, depths, valid, conf, conf_t, k_export,
     sbits, cbits = export_bits(S_, n_slots)
     flat_keep = keep.reshape(S_ * M_)
     k_export = min(k_export, S_ * M_)
-    # ascending single-operand key sort replaces lax.top_k: key = flat
-    # index for keep entries, S*M for the rest, so the sorted prefix is
-    # the same ascending-index front-packing top_k produced.  TopK at
-    # k ~ S*M/3 lowers to ~17 ms/view of fusions + internal copies at the
-    # exact-path capacities (profiled); the flat i32 sort is ~1-2 ms
-    BIG = jnp.int32(S_ * M_)
-    idx = jax.lax.broadcasted_iota(jnp.int32, (S_ * M_,), 0)
-    exp_sel_raw = jax.lax.sort(jnp.where(flat_keep, idx, BIG))[:k_export]
-    exp_valid = exp_sel_raw < BIG
-    exp_sel = jnp.where(exp_valid, exp_sel_raw, 0)
-    exp_src = (exp_sel // M_).astype(jnp.int32)
-    exp_cam = jnp.take_along_axis(cam.reshape(-1), exp_sel, axis=0)
-    exp_tgt = jnp.take_along_axis(tgt.reshape(-1), exp_sel, axis=0)
-    packed = ((exp_src << (cbits + sbits)) | (exp_cam << sbits) | exp_tgt)
+    # ascending single-operand key sort of the PACKED VALUES replaces
+    # lax.top_k-over-indices + two flat gathers: the merged table is
+    # camera-major ascending within each row (merge_neighbor_tables' key
+    # is cam*St + tgt), so ascending packed order == ascending flat-index
+    # order and the sorted prefix IS the export — same entries, same
+    # order, bit-identical.  TopK at k ~ S*M/3 lowered to ~17 ms/view of
+    # fusions + internal copies, and the index formulation still paid
+    # ~10 ms/view of 524k-from-1.57M element gathers (profiled); the
+    # packed build is a handful of [S, M] elementwise ops
+    src_plane = jax.lax.broadcasted_iota(jnp.int32, (S_, M_), 0)
+    packed_plane = ((src_plane << (cbits + sbits)) | (cam << sbits) | tgt)
+    # validity threshold: every real packed value < S << (cbits+sbits);
+    # int32 max as the pad key can never fall below it (2*sbits+cbits<=31)
+    BIGT = jnp.int32(S_) << (cbits + sbits)
+    keys = jnp.where(keep, packed_plane,
+                     jnp.int32(0x7fffffff)).reshape(S_ * M_)
+    sorted_packed = jax.lax.sort(keys)[:k_export]
+    exp_valid = sorted_packed < BIGT
+    packed = sorted_packed
     n_verified = jnp.sum(flat_keep)
 
     return dict(best_conf=best_conf, best_cam=best_cam,
