@@ -49,6 +49,11 @@ class AffinityGraph:
 # OpenMP kernel (tests lower it to pin native == numpy equivalence)
 NATIVE_SIM_THRESHOLD = 20000
 
+# candidate count above which a multi-process run shards the finalize
+# weight sweep across hosts (below it the collective overhead dominates;
+# the multi-host worker test lowers it to pin sharded == single-host)
+SHARDED_FINALIZE_MIN = 65536
+
 
 def similarity_coll3d(cams: CameraSet, best: BestMatches,
                       src_rows: np.ndarray, tgt_rows: np.ndarray,
@@ -411,6 +416,10 @@ def _finalize_candidates(best, src_rows, tgt_rows, kinds, cws,
                              np.zeros(0, np.float32),
                              np.zeros(0, np.int32), np.zeros(0, np.int32), 0)
 
+    if _finalize_num_shards() > 1 and len(src_rows) >= SHARDED_FINALIZE_MIN:
+        return _finalize_candidates_sharded(best, src_rows, tgt_rows, kinds,
+                                            cws, cams, config, verbose)
+
     if len(src_rows) > NATIVE_SIM_THRESHOLD:
         from ..native.load import get_lib
         lib = get_lib()
@@ -419,12 +428,127 @@ def _finalize_candidates(best, src_rows, tgt_rows, kinds, cws,
                 lib, best, src_rows, tgt_rows, kinds, cws, cams, config,
                 verbose)
 
-    sim = similarity_coll3d(cams, best, src_rows, tgt_rows, config.sigma_a)
-    base = 0.5 * (best.score[src_rows].astype(np.float64) +
-                  best.score[tgt_rows].astype(np.float64))
-    w = np.where(kinds == 2, cws, 1.0) * base * sim
-    thr = np.where(kinds == 0, config.min_affinity, config.collinear_affinity)
-    passed = w > thr
+    w = _candidate_weights_range(best, src_rows, tgt_rows, kinds, cws,
+                                 cams, config, 0, len(src_rows))
+    return _emit_graph(best, src_rows, tgt_rows, w, verbose)
+
+
+def _finalize_num_shards() -> int:
+    """Process count for the sharded finalize (1 when jax.distributed is
+    not initialized or jax is unavailable in a host-only context)."""
+    try:
+        import jax
+        return jax.process_count()
+    except Exception:
+        return 1
+
+
+def _candidate_weights_range(best, src_rows, tgt_rows, kinds, cws,
+                             cams, config, lo: int, hi: int) -> np.ndarray:
+    """Thresholded edge weights for the candidate slice [lo, hi): w when it
+    passes its kind's threshold, -1.0 sentinel otherwise.  Native OpenMP
+    sweep for large slices (affinity_weights_range — identical double
+    math), numpy twin below."""
+    if hi - lo > NATIVE_SIM_THRESHOLD:
+        from ..native.load import get_lib
+        lib = get_lib()
+        if lib is not None and hasattr(lib, "affinity_weights_range"):
+            w = np.empty(hi - lo, np.float64)
+            lib.affinity_weights_range(
+                np.ascontiguousarray(src_rows, np.int64),
+                np.ascontiguousarray(tgt_rows, np.int64),
+                np.ascontiguousarray(kinds, np.int8),
+                np.ascontiguousarray(cws, np.float64), lo, hi,
+                np.ascontiguousarray(best.score, np.float32),
+                np.ascontiguousarray(best.P1, np.float64),
+                np.ascontiguousarray(best.P2, np.float64),
+                np.ascontiguousarray(best.dir, np.float64),
+                np.ascontiguousarray(best.d1, np.float32),
+                np.ascontiguousarray(best.d2, np.float32),
+                np.ascontiguousarray(best.view, np.int32),
+                np.ascontiguousarray(cams.k_lower, np.float64),
+                np.ascontiguousarray(cams.k_upper, np.float64),
+                np.ascontiguousarray(cams.median_depth, np.float64),
+                float(config.sigma_a), float(config.min_affinity),
+                float(config.collinear_affinity), w)
+            return w
+    sl = slice(lo, hi)
+    sim = similarity_coll3d(cams, best, src_rows[sl], tgt_rows[sl],
+                            config.sigma_a)
+    base = 0.5 * (best.score[src_rows[sl]].astype(np.float64) +
+                  best.score[tgt_rows[sl]].astype(np.float64))
+    w = np.where(kinds[sl] == 2, cws[sl], 1.0) * base * sim
+    thr = np.where(kinds[sl] == 0, config.min_affinity,
+                   config.collinear_affinity)
+    return np.where(w > thr, w, -1.0)
+
+
+def _finalize_candidates_sharded(best, src_rows, tgt_rows, kinds, cws,
+                                 cams, config, verbose):
+    """Multi-host finalize: the weight sweep — the dominant cluster-stage
+    cost, ~10 s/1000 views single-host — is sharded by contiguous candidate
+    range across processes and allgathered; the cheap sequential emission
+    then runs identically on every host, so the graph stays host-replicated
+    and bit-identical to the single-host path (tests/test_multihost.py).
+
+    The candidate stream itself is host-replicated (the enumeration is the
+    measured serial-exact Amdahl floor, ~5 s/1000 views — README.md), so no
+    cross-host exchange of candidates is needed, only the [n/nproc] weight
+    slices ride the DCN."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    n = len(src_rows)
+    nproc = jax.process_count()
+    per = -(-n // nproc)
+    lo = min(jax.process_index() * per, n)
+    hi = min(lo + per, n)
+    w_local = np.full(per, -1.0, np.float64)
+    if hi > lo:
+        w_local[:hi - lo] = _candidate_weights_range(
+            best, src_rows, tgt_rows, kinds, cws, cams, config, lo, hi)
+    gathered = np.asarray(
+        multihost_utils.process_allgather(jnp.asarray(w_local)))
+    w = gathered.reshape(-1)[:n]
+    return _emit_graph(best, src_rows, tgt_rows, w, verbose)
+
+
+def _emit_graph(best, src_rows, tgt_rows, w, verbose):
+    """Emission-order graph assembly from sentinel weights (-1 = dropped):
+    node ids at first touch + interleaved symmetric edges
+    (line3D.cc:1019-1050).  Native sequential pass for large streams,
+    numpy twin below (equivalence pinned in tests/test_affinity.py)."""
+    if len(src_rows) > NATIVE_SIM_THRESHOLD:
+        from ..native.load import get_lib
+        lib = get_lib()
+        if lib is not None and hasattr(lib, "affinity_emit"):
+            n = len(src_rows)
+            B = best.view.size
+            edges_i = np.empty(2 * n, np.int32)
+            edges_j = np.empty(2 * n, np.int32)
+            edges_w = np.empty(2 * n, np.float32)
+            node_rows = np.empty(B, np.int64)
+            n_nodes = np.zeros(1, np.int64)
+            E = lib.affinity_emit(
+                np.ascontiguousarray(w, np.float64),
+                np.ascontiguousarray(src_rows, np.int64),
+                np.ascontiguousarray(tgt_rows, np.int64), n, B,
+                edges_i, edges_j, edges_w, node_rows, n_nodes)
+            nn = int(n_nodes[0])
+            node_rows = node_rows[:nn]
+            if verbose:
+                print(f"[L3D] A: #num_entries = {2 * E}")
+                print(f"[L3D] A: #num_rows    = {nn}")
+            return AffinityGraph(
+                edges_i=edges_i[:2 * E].copy(),
+                edges_j=edges_j[:2 * E].copy(),
+                edges_w=edges_w[:2 * E].copy(),
+                node_view=best.view[node_rows].astype(np.int32),
+                node_seg=best.seg[node_rows].astype(np.int32),
+                num_nodes=nn)
+
+    passed = w >= 0.0
     src_rows, tgt_rows, w = src_rows[passed], tgt_rows[passed], w[passed]
 
     # --- node ids in emission order ---------------------------------------

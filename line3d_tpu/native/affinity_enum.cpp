@@ -207,7 +207,95 @@ inline double similarity_one(
     return s <= 0.01 ? 0.0 : s;
 }
 
+// Parallel phase of the finalize: per-candidate similarity, weight,
+// per-kind threshold -> w or -1 sentinel, for the candidate slice
+// [lo, hi).  Split out of affinity_finalize so a multi-host run can
+// shard the sweep (each host computes its contiguous slice, the slices
+// are allgathered, and every host runs the cheap sequential emission
+// identically — cluster/affinity.py:_finalize_candidates_sharded).
+void weights_range(
+    const int64_t* src_rows, const int64_t* tgt_rows,
+    const int8_t* kind, const double* cw, int64_t lo, int64_t hi,
+    const float* score,
+    const double* P1, const double* P2, const double* dirv,
+    const float* d1, const float* d2, const int32_t* view,
+    const double* k_lower, const double* k_upper,
+    const double* median_depth,
+    double sigma_a, double min_affinity, double collinear_affinity,
+    double* w_out) {
+    const double sa2 = 2.0 * sigma_a * sigma_a;
+#pragma omp parallel for schedule(static)
+    for (int64_t i = lo; i < hi; ++i) {
+        const int64_t a = src_rows[i], b = tgt_rows[i];
+        const double sim = similarity_one(a, b, P1, P2, dirv, d1, d2, view,
+                                          k_lower, k_upper, median_depth,
+                                          sa2);
+        const double base = 0.5 * (static_cast<double>(score[a]) +
+                                   static_cast<double>(score[b]));
+        const double wv = (kind[i] == 2 ? cw[i] : 1.0) * base * sim;
+        const double thr = kind[i] == 0 ? min_affinity : collinear_affinity;
+        w_out[i - lo] = wv > thr ? wv : -1.0;     // sentinel: dropped
+    }
+}
+
+// Sequential phase: node ids at first touch (emission order — exactly the
+// reference's map behavior, line3D.cc:1019-1050) + interleaved symmetric
+// edge emission.  Returns the directed-pair count E (edge arrays hold 2E).
+int64_t emit_edges(
+    const double* w, const int64_t* src_rows, const int64_t* tgt_rows,
+    int64_t n, int64_t B,
+    int32_t* edges_i, int32_t* edges_j, float* edges_w,
+    int64_t* node_rows, int64_t* n_nodes) {
+    std::vector<int64_t> node_of(B, -1);
+    int64_t nn = 0, e = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        if (w[i] < 0.0) continue;
+        const int64_t a = src_rows[i], b = tgt_rows[i];
+        int64_t na = node_of[a];
+        if (na < 0) { na = node_of[a] = nn; node_rows[nn++] = a; }
+        int64_t nb = node_of[b];
+        if (nb < 0) { nb = node_of[b] = nn; node_rows[nn++] = b; }
+        const float wf = static_cast<float>(w[i]);
+        edges_i[2 * e] = static_cast<int32_t>(na);
+        edges_j[2 * e] = static_cast<int32_t>(nb);
+        edges_w[2 * e] = wf;
+        edges_i[2 * e + 1] = static_cast<int32_t>(nb);
+        edges_j[2 * e + 1] = static_cast<int32_t>(na);
+        edges_w[2 * e + 1] = wf;
+        ++e;
+    }
+    *n_nodes = nn;
+    return e;
+}
+
 }  // namespace
+
+// Host-shardable halves of affinity_finalize (see weights_range): the
+// OpenMP weight sweep over a candidate slice, and the sequential
+// emission over a full (gathered) weight array.
+void affinity_weights_range(
+    const int64_t* src_rows, const int64_t* tgt_rows,
+    const int8_t* kind, const double* cw, int64_t lo, int64_t hi,
+    const float* score,
+    const double* P1, const double* P2, const double* dirv,
+    const float* d1, const float* d2, const int32_t* view,
+    const double* k_lower, const double* k_upper,
+    const double* median_depth,
+    double sigma_a, double min_affinity, double collinear_affinity,
+    double* w_out) {
+    weights_range(src_rows, tgt_rows, kind, cw, lo, hi, score, P1, P2, dirv,
+                  d1, d2, view, k_lower, k_upper, median_depth, sigma_a,
+                  min_affinity, collinear_affinity, w_out);
+}
+
+int64_t affinity_emit(
+    const double* w, const int64_t* src_rows, const int64_t* tgt_rows,
+    int64_t n, int64_t B,
+    int32_t* edges_i, int32_t* edges_j, float* edges_w,
+    int64_t* node_rows, int64_t* n_nodes) {
+    return emit_edges(w, src_rows, tgt_rows, n, B, edges_i, edges_j,
+                      edges_w, node_rows, n_nodes);
+}
 
 // Vectorized similarity_coll3D over candidate row pairs, OpenMP.
 void affinity_similarity(
@@ -249,42 +337,12 @@ int64_t affinity_finalize(
     double sigma_a, double min_affinity, double collinear_affinity,
     int32_t* edges_i, int32_t* edges_j, float* edges_w,
     int64_t* node_rows, int64_t* n_nodes) {
-    const double sa2 = 2.0 * sigma_a * sigma_a;
     std::vector<double> w(n);
-
-#pragma omp parallel for schedule(static)
-    for (int64_t i = 0; i < n; ++i) {
-        const int64_t a = src_rows[i], b = tgt_rows[i];
-        const double sim = similarity_one(a, b, P1, P2, dirv, d1, d2, view,
-                                          k_lower, k_upper, median_depth,
-                                          sa2);
-        const double base = 0.5 * (static_cast<double>(score[a]) +
-                                   static_cast<double>(score[b]));
-        const double wv = (kind[i] == 2 ? cw[i] : 1.0) * base * sim;
-        const double thr = kind[i] == 0 ? min_affinity : collinear_affinity;
-        w[i] = wv > thr ? wv : -1.0;          // sentinel: dropped
-    }
-
-    std::vector<int64_t> node_of(B, -1);
-    int64_t nn = 0, e = 0;
-    for (int64_t i = 0; i < n; ++i) {
-        if (w[i] < 0.0) continue;
-        const int64_t a = src_rows[i], b = tgt_rows[i];
-        int64_t na = node_of[a];
-        if (na < 0) { na = node_of[a] = nn; node_rows[nn++] = a; }
-        int64_t nb = node_of[b];
-        if (nb < 0) { nb = node_of[b] = nn; node_rows[nn++] = b; }
-        const float wf = static_cast<float>(w[i]);
-        edges_i[2 * e] = static_cast<int32_t>(na);
-        edges_j[2 * e] = static_cast<int32_t>(nb);
-        edges_w[2 * e] = wf;
-        edges_i[2 * e + 1] = static_cast<int32_t>(nb);
-        edges_j[2 * e + 1] = static_cast<int32_t>(na);
-        edges_w[2 * e + 1] = wf;
-        ++e;
-    }
-    *n_nodes = nn;
-    return e;
+    weights_range(src_rows, tgt_rows, kind, cw, 0, n, score, P1, P2, dirv,
+                  d1, d2, view, k_lower, k_upper, median_depth, sigma_a,
+                  min_affinity, collinear_affinity, w.data());
+    return emit_edges(w.data(), src_rows, tgt_rows, n, B, edges_i, edges_j,
+                      edges_w, node_rows, n_nodes);
 }
 
 }  // extern "C"

@@ -132,6 +132,23 @@ def get_lib():
                 np.ctypeslib.ndpointer(np.int64, shape=(1,),
                                        flags="C_CONTIGUOUS")]
             lib.affinity_finalize.restype = ctypes.c_int64
+        if hasattr(lib, "affinity_weights_range"):
+            lib.affinity_weights_range.argtypes = [
+                i64p, i64p, i8p, f64p,                   # candidates
+                ctypes.c_int64, ctypes.c_int64,          # lo, hi
+                f32p,                                    # score
+                f64p, f64p, f64p, f32p, f32p, i32p,      # best arrays
+                f64p, f64p, f64p,                        # camera arrays
+                ctypes.c_double, ctypes.c_double, ctypes.c_double,
+                f64p]                                    # w_out [hi-lo]
+            lib.affinity_weights_range.restype = None
+        if hasattr(lib, "affinity_emit"):
+            lib.affinity_emit.argtypes = [
+                f64p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
+                i32p, i32p, f32p, i64p,
+                np.ctypeslib.ndpointer(np.int64, shape=(1,),
+                                       flags="C_CONTIGUOUS")]
+            lib.affinity_emit.restype = ctypes.c_int64
         if hasattr(lib, "lsd_carve"):
             lib.lsd_carve.argtypes = [
                 f32p, f32p, i32p, u8p, ctypes.c_int64,       # norm, angle,

@@ -13,18 +13,23 @@ beyond one host follows the standard JAX SPMD recipe:
   3. the matching mesh spans all hosts' devices; jax.sharding places each
      view's work on the device that owns its shard and XLA routes any
      cross-host traffic over DCN,
-  4. clustering inputs (verified-match exports) are gathered to host 0,
-     which runs the affinity + union-find + fit stages and writes the
-     result.
+  4. the cluster stage runs host-replicated, with its dominant parallel
+     component — the affinity weight sweep (similarity + threshold,
+     ~10 s / 1000 views) — SHARDED by candidate range across the
+     processes and allgathered
+     (cluster/affinity.py:_finalize_candidates_sharded); the cheap
+     sequential emission + union-find + fit run identically everywhere so
+     the model stays host-replicated with no designated writer.
 
-Host-side stages after matching are O(verified matches) and run on one
-host — the same asymmetry the reference has between its GPU hot loops and
-CPU bookkeeping.  Measured at 1000-view production density they total
-~25 s on a 4-core host (fused native affinity finalize + packed-pair
-enumeration + native F-H + batched fit) against a ~55 s device stage, so
-single-host clustering is NOT the scaling bound through the 1000-view
-north star; the serial-exact Amdahl floor is the order-dependent
-enumeration itself (~5 s / 1000 views, linear).
+Host-side stages after matching are O(verified matches); measured at
+1000-view production density they total ~25 s on a 4-core host (fused
+native affinity finalize + packed-pair enumeration + native F-H +
+batched fit) against a ~55 s device stage, so host clustering is NOT the
+scaling bound through the 1000-view north star.  With N hosts the weight
+sweep divides by N; the serial-exact Amdahl floor is the order-dependent
+enumeration itself (~5 s / 1000 views, linear), replicated because the
+reference's `used`-set traversal is sequential by construction
+(line3D.cc:984-1221).
 """
 from __future__ import annotations
 

@@ -248,3 +248,55 @@ def test_native_similarity_kernel_matches_numpy(monkeypatch):
     # same double-precision math; exp() may differ by libm-vs-numpy ulps
     np.testing.assert_allclose(w_native, w_numpy, rtol=0, atol=1e-12)
     assert w_native.max() > 0.5  # the batch must contain non-trivial sims
+
+
+def test_weights_emit_pieces_match_fused(monkeypatch):
+    """The split finalize pieces (_candidate_weights_range over two slices
+    + _emit_graph) — the building blocks of the multi-host sharded
+    finalize — must reproduce the fused native finalize bit-for-bit on the
+    same candidate stream."""
+    from line3d_tpu.native import load as native_load
+    lib = native_load.get_lib()
+    if lib is None or not hasattr(lib, "affinity_weights_range"):
+        import pytest
+        pytest.skip("native library unavailable")
+
+    syn = make_scene(num_views=8)
+    cams = syn.cameras
+    cfg = L3DConfig()
+    tr = compute_conditioning(cams.C)
+    cams.transform(tr.Qinv, tr.scale)
+    sim, _ = view_similarities_from_worldpoints(syn.wp_lists,
+                                                syn.scene.num_views)
+    neighbors = find_visual_neighbors(sim, cams.baselines(),
+                                      cfg.min_baseline,
+                                      cfg.matching_neighbors)
+    _, best, _ = engine.run_matching(syn.scene, cams, neighbors, cfg)
+
+    B = best.view.size
+    rng = np.random.default_rng(3)
+    n = 6000
+    src = rng.integers(0, B, size=n).astype(np.int64)
+    tgt = rng.integers(0, B, size=n).astype(np.int64)
+    bad = src == tgt
+    tgt[bad] = (tgt[bad] + 1) % B
+    kinds = rng.integers(0, 3, size=n).astype(np.int8)
+    cws = rng.uniform(0.05, 1.0, size=n)
+
+    monkeypatch.setattr(affinity, "NATIVE_SIM_THRESHOLD", 0)
+    g_ref = affinity._finalize_candidates(best, src, tgt, kinds, cws,
+                                          cams, cfg, False)
+    m = n // 3
+    w = np.concatenate([
+        affinity._candidate_weights_range(best, src, tgt, kinds, cws,
+                                          cams, cfg, 0, m),
+        affinity._candidate_weights_range(best, src, tgt, kinds, cws,
+                                          cams, cfg, m, n)])
+    g_pieces = affinity._emit_graph(best, src, tgt, w, False)
+    assert g_pieces.num_nodes == g_ref.num_nodes
+    np.testing.assert_array_equal(g_pieces.edges_i, g_ref.edges_i)
+    np.testing.assert_array_equal(g_pieces.edges_j, g_ref.edges_j)
+    np.testing.assert_array_equal(g_pieces.edges_w, g_ref.edges_w)
+    np.testing.assert_array_equal(g_pieces.node_view, g_ref.node_view)
+    np.testing.assert_array_equal(g_pieces.node_seg, g_ref.node_seg)
+    assert len(g_ref.edges_i) > 100

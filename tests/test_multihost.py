@@ -98,6 +98,89 @@ def test_two_process_orchestration(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_sharded_affinity_finalize(tmp_path):
+    """The host-sharded affinity finalize (weight sweep split by candidate
+    range across processes, slices allgathered, emission replicated) must
+    reproduce the single-host fused native finalize bit-for-bit."""
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.join(HERE, "multihost_affinity_worker.py"),
+         str(port), str(pid), "2", str(tmp_path)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+
+    o0 = dict(np.load(tmp_path / "aff_0.npz"))
+    o1 = dict(np.load(tmp_path / "aff_1.npz"))
+    assert o0.keys() == o1.keys()
+    for k in o0:
+        np.testing.assert_array_equal(o0[k], o1[k], err_msg=k)
+
+    # single-host fused native finalize on the identical fixture
+    from synthetic import make_scene
+    from line3d_tpu.config import L3DConfig
+    from line3d_tpu.core.conditioning import compute_conditioning
+    from line3d_tpu.cluster import affinity
+    from line3d_tpu.match import engine
+    from line3d_tpu.scene import view_similarities_from_worldpoints, \
+        find_visual_neighbors
+    from line3d_tpu.native import load as native_load
+    if native_load.get_lib() is None:
+        pytest.skip("native library unavailable")
+
+    syn = make_scene(num_views=8)
+    cams = syn.cameras
+    cfg = L3DConfig()
+    tr = compute_conditioning(cams.C)
+    cams.transform(tr.Qinv, tr.scale)
+    sim, _ = view_similarities_from_worldpoints(syn.wp_lists,
+                                                syn.scene.num_views)
+    neighbors = find_visual_neighbors(sim, cams.baselines(),
+                                      cfg.min_baseline,
+                                      cfg.matching_neighbors)
+    _, best, _ = engine.run_matching(syn.scene, cams, neighbors, cfg)
+
+    B = best.view.size
+    rng = np.random.default_rng(3)
+    n = 6000
+    src = rng.integers(0, B, size=n).astype(np.int64)
+    tgt = rng.integers(0, B, size=n).astype(np.int64)
+    bad = src == tgt
+    tgt[bad] = (tgt[bad] + 1) % B
+    kinds = rng.integers(0, 3, size=n).astype(np.int8)
+    cws = rng.uniform(0.05, 1.0, size=n)
+
+    saved = affinity.NATIVE_SIM_THRESHOLD
+    try:
+        affinity.NATIVE_SIM_THRESHOLD = 0   # fused native path
+        g = affinity._finalize_candidates(best, src, tgt, kinds, cws,
+                                          cams, cfg, False)
+    finally:
+        affinity.NATIVE_SIM_THRESHOLD = saved
+    assert int(o0["num_nodes"]) == g.num_nodes
+    np.testing.assert_array_equal(o0["edges_i"], g.edges_i)
+    np.testing.assert_array_equal(o0["edges_j"], g.edges_j)
+    np.testing.assert_array_equal(o0["edges_w"], g.edges_w)
+    np.testing.assert_array_equal(o0["node_view"], g.node_view)
+    np.testing.assert_array_equal(o0["node_seg"], g.node_seg)
+    assert g.num_nodes > 10 and len(g.edges_i) > 100
+
+
+@pytest.mark.slow
 def test_two_process_full_pipeline(tmp_path):
     """The COMPLETE pipeline (collinearity + sharded matching + selection +
     affinity + device diffusion + clustering + fit) over the 2-process
