@@ -317,15 +317,33 @@ def _kernel_tiled(need_ref, params_ref, pm_m_ref, pm_m2_ref, btab_ref,
 
 
 def _m2_tile_for(M: int) -> int:
-    """Match-axis tile for M > 256 (both axes use it): the largest divisor
-    of M up to 256, keeping each [tile, tile] f32 plane at ~256 KB so the
-    ~15 live planes stay well within VMEM.  M <= 256 runs untiled."""
+    """Base match-axis tile for M > 256: the largest divisor of M up to
+    256.  M <= 256 runs untiled.  Larger tiles measured strictly faster at
+    every facade-like occupancy (tile 128 is 1.3-1.6x SLOWER than 256 at
+    M=1024 — the per-tile overhead dominates the ceil(need/tile)^2
+    quantization waste; scripts/scoring_tile_bench.py)."""
     if M <= 256:
         return M
     for d in (256, 128, 64, 32, 16, 8):
         if M % d == 0:
             return d
     return 8
+
+
+def _tiles_for(M: int) -> tuple:
+    """(m_tile, m2_tile) for the tiled kernel: the scored-match (lane) and
+    supporting-match (sublane) tile sizes.  Asymmetric shapes are legal —
+    VMEM holds ~15 [m2_tile, m_tile] f32 planes — and were swept on real
+    hardware (scripts/scoring_tile_bench.py, M=1024, S=3072): 512x256 is
+    11% faster when occupancies straddle one 256 boundary (uniform
+    200-500) but 17% SLOWER at need=700 (ceil(700/512)*512 = 1024 vs 768
+    lanes of work), and 1024x256 loses everywhere.  The tradeoff is
+    occupancy-distribution-dependent with modest swing either way, while
+    real scenes are heavy at LOW need (where 512-wide lane tiles strictly
+    double the work of the majority rows) — so the symmetric 256 default
+    stays."""
+    t = _m2_tile_for(M)
+    return t, t
 
 
 @functools.partial(jax.jit, static_argnames=("support_threshold",
@@ -407,8 +425,8 @@ def score_matches_pallas(segs_src, mask_src, RtKinv_src, C_src,
         jnp.float32(support_threshold),
     ]).astype(f32).reshape(1, 4)
 
-    tile = _m2_tile_for(M)
-    if tile == M:
+    m_tile, m2_tile = _tiles_for(M)
+    if m_tile == M and m2_tile == M:
         kernel = functools.partial(_kernel, num_cams=N, m_slots=M)
         conf = pl.pallas_call(
             kernel,
@@ -439,28 +457,29 @@ def score_matches_pallas(segs_src, mask_src, RtKinv_src, C_src,
         .astype(jnp.int32)                                # [S]
 
     kernel = functools.partial(_kernel_tiled, num_cams=N, m_slots=M,
-                               m_tile=tile, m2_tile=tile)
+                               m_tile=m_tile, m2_tile=m2_tile)
     # need rides as a scalar-prefetch operand (a plain [S, 1] SMEM input
     # window is padded to 512 B/row by Mosaic and blows the 1 MB SMEM at
     # S >= 2048)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(S, M // tile, M // tile),
+        grid=(S, M // m_tile, M // m2_tile),
         in_specs=[
             pl.BlockSpec((1, 4), lambda i, tm, t, *_: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _PM, tile), lambda i, tm, t, *_: (i, 0, tm),
+            pl.BlockSpec((1, _PM, m_tile), lambda i, tm, t, *_: (i, 0, tm),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _PM, tile), lambda i, tm, t, *_: (i, 0, t),
+            pl.BlockSpec((1, _PM, m2_tile), lambda i, tm, t, *_: (i, 0, t),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, N * 6), lambda i, tm, t, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N * 3), lambda i, tm, t, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, tile), lambda i, tm, t, *_: (i, 0, tm),
+        out_specs=pl.BlockSpec((1, 1, m_tile),
+                               lambda i, tm, t, *_: (i, 0, tm),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((N, tile), f32)],
+        scratch_shapes=[pltpu.VMEM((N, m_tile), f32)],
     )
     conf = pl.pallas_call(
         kernel,

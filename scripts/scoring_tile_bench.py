@@ -1,12 +1,19 @@
-"""Measure the adaptively-tiled scoring kernel at M=1024 across tile sizes.
+"""Measure the adaptively-tiled scoring kernel at M=1024 across tile shapes.
 
 The tiled kernel's cost is Sum_s ceil(need_s/tile)^2 tile-visits: a larger
 tile amortizes per-tile overhead but pays quadratic quantization waste when
-row occupancies sit just above a tile boundary.  This sweeps tile in
-{128, 256} over facade-like occupancy distributions on the real chip using
-the fori-loop + perturbation protocol (CLAUDE.md).
+row occupancies sit just above a tile boundary.  Sweeps (m_tile, m2_tile)
+combos over facade-like occupancy distributions on the real chip using the
+fori-loop + perturbation protocol (CLAUDE.md).
 
-Usage: python scripts/scoring_tile_bench.py
+Measured (v5e, 2026-08-20, ms/iter):
+  mix200_500  256x256 65.3  512x256 58.1  256x512 63.2  512x512 58.7  1024x256 99.9
+  const700    256x256 143.6 512x256 168.4 256x512 182.9 512x512 212.7 1024x256 161.0
+  (symmetric sweep: 128x128 is 1.3-1.6x slower than 256x256 everywhere)
+Conclusion: distribution-dependent with modest swing; real scenes are
+low-need-heavy, so the symmetric 256 default stays (_tiles_for docstring).
+
+Usage: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/scoring_tile_bench.py
 """
 import functools
 import time
@@ -39,9 +46,9 @@ def make_inputs(rng, need_fn):
             P_nb, segs_nb)
 
 
-def bench(tile, inputs):
-    orig = sp._m2_tile_for
-    sp._m2_tile_for = lambda m: tile
+def bench(tiles, inputs):
+    orig = sp._tiles_for
+    sp._tiles_for = lambda m: tiles
     try:
         (segs_src, mask, RtKinv, C, cam, tgt, depths, valid,
          P_nb, segs_nb) = [jnp.asarray(x) for x in inputs]
@@ -70,23 +77,28 @@ def bench(tile, inputs):
             times.append(time.perf_counter() - t0)
         return min(times) / LOOP_N
     finally:
-        sp._m2_tile_for = orig
+        sp._tiles_for = orig
 
 
 DISTS = {
     # facade-ish: most rows a few hundred live slots, a tail near M
     "mix200_500": lambda rng: rng.integers(200, 500, S),
-    "tail_heavy": lambda rng: np.minimum(
-        rng.integers(100, 400, S) + (rng.random(S) < 0.1) * 600, M),
-    "const300": lambda rng: np.full(S, 300),
     "const700": lambda rng: np.full(S, 700),
 }
+
+# (m_tile [lanes, scored axis], m2_tile [sublanes, supporting axis])
+COMBOS = [(256, 256), (512, 256), (256, 512), (512, 512), (1024, 256)]
 
 if __name__ == "__main__":
     for name, fn in DISTS.items():
         rng = np.random.default_rng(7)
         inputs = make_inputs(rng, fn)
-        row = {t: bench(t, inputs) for t in (128, 256)}
-        print(f"{name:12s} " + "  ".join(
-            f"tile{t}: {v * 1e3:7.2f} ms" for t, v in row.items()),
-            flush=True)
+        parts = []
+        for tiles in COMBOS:
+            try:
+                v = bench(tiles, inputs)
+                parts.append(f"{tiles[0]}x{tiles[1]}: {v * 1e3:7.2f} ms")
+            except Exception as e:  # VMEM overflow etc.
+                parts.append(f"{tiles[0]}x{tiles[1]}: FAIL "
+                             f"({type(e).__name__})")
+            print(f"{name:12s} " + "  ".join(parts), flush=True)
