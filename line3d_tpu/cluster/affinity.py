@@ -447,9 +447,12 @@ def _candidate_weights_range(best, src_rows, tgt_rows, kinds, cws,
                              cams, config, lo: int, hi: int) -> np.ndarray:
     """Thresholded edge weights for the candidate slice [lo, hi): w when it
     passes its kind's threshold, -1.0 sentinel otherwise.  Native OpenMP
-    sweep for large slices (affinity_weights_range — identical double
-    math), numpy twin below."""
-    if hi - lo > NATIVE_SIM_THRESHOLD:
+    sweep (affinity_weights_range — identical double math), numpy twin
+    below.  Dispatch is on the TOTAL stream length (not the slice length)
+    so a sharded finalize uses the native kernel exactly when the
+    single-host path would — otherwise numpy-vs-libm ulp drift would make
+    marginal threshold passes depend on process count."""
+    if len(src_rows) > NATIVE_SIM_THRESHOLD:
         from ..native.load import get_lib
         lib = get_lib()
         if lib is not None and hasattr(lib, "affinity_weights_range"):
@@ -508,9 +511,16 @@ def _finalize_candidates_sharded(best, src_rows, tgt_rows, kinds, cws,
     if hi > lo:
         w_local[:hi - lo] = _candidate_weights_range(
             best, src_rows, tgt_rows, kinds, cws, cams, config, lo, hi)
+    # Gather the raw f64 BITS as [per, 2] uint32 — jnp.asarray(f64) would
+    # silently round the weights to f32 in transit (jax x64 is off), and
+    # although pass/fail is decided pre-gather today, a future consumer of
+    # the gathered weights (or a post-gather threshold) must see the exact
+    # doubles the single-host path computes.
+    bits = np.ascontiguousarray(w_local).view(np.uint32).reshape(per, 2)
     gathered = np.asarray(
-        multihost_utils.process_allgather(jnp.asarray(w_local)))
-    w = gathered.reshape(-1)[:n]
+        multihost_utils.process_allgather(jnp.asarray(bits)))
+    w = np.ascontiguousarray(gathered.reshape(-1, 2)).view(
+        np.float64).reshape(-1)[:n]
     return _emit_graph(best, src_rows, tgt_rows, w, verbose)
 
 

@@ -101,4 +101,5 @@ if __name__ == "__main__":
             except Exception as e:  # VMEM overflow etc.
                 parts.append(f"{tiles[0]}x{tiles[1]}: FAIL "
                              f"({type(e).__name__})")
-            print(f"{name:12s} " + "  ".join(parts), flush=True)
+            print(f"{name:12s} {parts[-1]}", flush=True)   # progress
+        print(f"{name:12s} " + "  ".join(parts), flush=True)

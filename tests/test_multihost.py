@@ -139,8 +139,16 @@ def test_two_process_sharded_affinity_finalize(tmp_path):
     from line3d_tpu.scene import view_similarities_from_worldpoints, \
         find_visual_neighbors
     from line3d_tpu.native import load as native_load
-    if native_load.get_lib() is None:
+    lib = native_load.get_lib()
+    if lib is None:
         pytest.skip("native library unavailable")
+    if not (hasattr(lib, "affinity_weights_range")
+            and hasattr(lib, "affinity_emit")):
+        # A stale .so (affinity_finalize only) would make the workers fall
+        # back to the numpy twin while the parent stays native — ulp-level
+        # assert flakes instead of a clear signal.  Rebuild required.
+        pytest.fail("stale native library: affinity_weights_range/"
+                    "affinity_emit missing — run `make -C line3d_tpu/native`")
 
     syn = make_scene(num_views=8)
     cams = syn.cameras
