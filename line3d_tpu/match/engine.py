@@ -93,15 +93,19 @@ def _match_and_score_view(segs_src, mask_src, RtKinv_src, C_src,
 
     cam, tgt, valid = pairwise.merge_neighbor_tables(
         res, m_total, segs_nb.shape[1])
+    # one [S, M, 4] target-coordinate gather, shared by the depth
+    # recompute and the scoring prep (~19 ms/view each at exact stress
+    # capacities — pairwise.gather_target_coords)
+    tcoords = pairwise.gather_target_coords(segs_nb, cam, tgt)
     depths = pairwise.depths_for_matches(
         segs_src, segs_nb, cam, tgt, valid,
-        F_nb, RtKinv_src, RtKinv_nb, C_src, C_nb)
+        F_nb, RtKinv_src, RtKinv_nb, C_src, C_nb, tcoords=tcoords)
 
     conf = scoring.score_matches_best(
         segs_src, mask_src, RtKinv_src, C_src,
         cam, tgt, depths, valid, P_nb, segs_nb,
         sigma_p, sigma_a, spatial_k, row_chunk=row_chunk,
-        support_threshold=support_t)
+        support_threshold=support_t, tcoords=tcoords)
 
     total_overflow = res["overflow"]
     n_kept = jnp.sum(res["valid"], axis=(0, 2))      # per src seg, all nbrs

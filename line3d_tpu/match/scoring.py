@@ -54,7 +54,7 @@ def score_matches(segs_src, mask_src, RtKinv_src, C_src,
                   P_nb, segs_nb,
                   sigma_p, sigma_a, spatial_k,
                   support_threshold=0.5,
-                  row_chunk=128):
+                  row_chunk=128, tcoords=None):
     """Score all matches of one source view.  See module docstring.
 
     Returns confidence [S, M] float32 (0 for invalid slots).
@@ -67,10 +67,12 @@ def score_matches(segs_src, mask_src, RtKinv_src, C_src,
     ray1 = g.ray_dir(RtKinv_src, p1)
     ray2 = g.ray_dir(RtKinv_src, p2)
 
-    # target segment coords per match: [S, M, 4]
-    cam_s = jnp.maximum(cam, 0)
-    flat = cam_s * St + jnp.maximum(tgt, 0)
-    tcoords = segs_nb.reshape(N * St, 4)[flat.reshape(-1)].reshape(S, M, 4)
+    # target segment coords per match: [S, M, 4] (shared with the depth
+    # recompute when the caller provides it — the gather is ~19 ms/view at
+    # exact capacities, pairwise.gather_target_coords)
+    if tcoords is None:
+        from .pairwise import gather_target_coords
+        tcoords = gather_target_coords(segs_nb, cam, tgt)
     tq1 = g.hom(tcoords[..., 0:2])                  # [S, M, 3]
     tq2 = g.hom(tcoords[..., 2:4])
     tline = jnp.cross(tq1, tq2)
@@ -207,7 +209,7 @@ def score_matches(segs_src, mask_src, RtKinv_src, C_src,
 def score_matches_best(segs_src, mask_src, RtKinv_src, C_src,
                        cam, tgt, depths, valid, P_nb, segs_nb,
                        sigma_p, sigma_a, spatial_k,
-                       support_threshold=0.5, row_chunk=128):
+                       support_threshold=0.5, row_chunk=128, tcoords=None):
     """Backend dispatch: fused Pallas kernel on TPU (scoring_pallas, ~2x
     the XLA formulation at production shape), XLA elsewhere (CPU tests)."""
     from .pairwise import use_pallas
@@ -216,8 +218,9 @@ def score_matches_best(segs_src, mask_src, RtKinv_src, C_src,
         return score_matches_pallas(
             segs_src, mask_src, RtKinv_src, C_src, cam, tgt, depths, valid,
             P_nb, segs_nb, sigma_p, sigma_a, spatial_k,
-            support_threshold=support_threshold)
+            support_threshold=support_threshold, tcoords=tcoords)
     return score_matches(
         segs_src, mask_src, RtKinv_src, C_src, cam, tgt, depths, valid,
         P_nb, segs_nb, sigma_p, sigma_a, spatial_k,
-        support_threshold=support_threshold, row_chunk=row_chunk)
+        support_threshold=support_threshold, row_chunk=row_chunk,
+        tcoords=tcoords)

@@ -95,16 +95,19 @@ def main():
                     res, M_TOTAL, segs_nb.shape[1])
                 if upto == "B":
                     return acc + cam.sum().astype(jnp.float32)
+                tcoords = pairwise.gather_target_coords(segs_nb, cam,
+                                                         tgt)
                 depths = pairwise.depths_for_matches(
                     x, segs_nb, cam, tgt, valid,
-                    F_nb, RtKinv_src, RtKinv_nb, C_src, C_nb)
+                    F_nb, RtKinv_src, RtKinv_nb, C_src, C_nb,
+                    tcoords=tcoords)
                 if upto == "C":
                     return acc + depths.sum()
                 conf = scoring.score_matches_best(
                     x, mask_src, RtKinv_src, C_src,
                     cam, tgt, depths, valid, P_nb, segs_nb,
                     jnp.float32(3.5), jnp.float32(10.0), jnp.float32(sk),
-                    row_chunk=min(128, S))
+                    row_chunk=min(128, S), tcoords=tcoords)
                 if upto == "D":
                     return acc + conf.sum()
                 out = sharded.device_select(cam, tgt, depths, valid, conf,
