@@ -24,16 +24,19 @@ components with per-seed tolerance and shrinking radius
 tolerance-halving ladder as the pure-python fallback — the analogue of
 rect_improve's p/2 precision search (lsd_opencv.cpp:995-1008).
 
-rect_improve's rectangle-WIDTH / one-side reduction variants
-(lsd_opencv.cpp:1010-1070) run as `_width_rescue`: NFA failures are
-re-tried over the same 2.5 px search range with per-region
-perpendicular-offset histograms, all 15 variants evaluated at once from
-two prefix sums.  The remaining structural divergence (documented, by
-design): the NFA counts the region's own pixels against the fitted
-rectangle's area (binned for the width variants) instead of
-re-rasterizing the rectangle (rect_nfa, lsd_opencv.cpp:1075-1196) —
-covered statistically: mutual recall vs OpenCV's LSD is pinned at
-0.99-1.00 in tests/test_detect.py.
+The NFA decision is the reference's full rect_improve ladder on
+RE-RASTERIZED rect_nfa counts (`_rect_improve_nfa` / `_rect_counts`,
+lsd_opencv.cpp:983-1196): every candidate rectangle's lattice pixels are
+counted (total + angle-aligned within prec, pi-wrapped exactly as
+isAligned), then failing candidates walk the reference's greedy variant
+ladder — 5 precision halvings, 5 symmetric width reductions, 5 one-side
+reductions per side (midline shift carried into the emitted endpoints),
+5 more precision halvings — batched across the candidate set.  The one
+deliberate divergence (PARITY.md): pixels are selected by a clean
+point-in-rectangle test instead of the reference's scanline quad walk,
+whose second-edge step selection compares an x against a y
+(lsd_opencv.cpp:1156-1161, an upstream OpenCV bug).  Mutual recall vs
+OpenCV's LSD stays pinned at 0.99-1.00 in tests/test_detect.py.
 """
 from __future__ import annotations
 
@@ -327,100 +330,217 @@ def _region_extents(xs, ys, flat_label, defined, cx, cy, dx, dy, nb):
     return l_min, l_max, wd_min, wd_max
 
 
-def _width_rescue(fit, fail_ids, labels_flat, p, log_nt):
-    """Rectangle-WIDTH reduction search over NFA failures — the
-    data-parallel counterpart of rect_improve's width / one-side reduction
-    variants (lsd_opencv.cpp:1010-1070; VERDICT r3 missing #4).
+def _rect_counts(angle, defined, theta, prec, cx, cy, dxv, dyv,
+                 l0, l1, wc, width, chunk_px=8_000_000):
+    """(total, aligned) lattice-pixel counts of each rectangle — the
+    re-rasterization at the heart of rect_nfa (lsd_opencv.cpp:1075-1196).
 
-    The reference shrinks the rectangle in 0.5 px width steps (and 0.25 px
-    one-side steps) and re-rasterizes for rect_nfa; here each failing
-    region's pixels are binned by perpendicular offset from the fitted
-    axis (0.25 px bins), so every variant's aligned-pixel count is a pair
-    of prefix sums, and all 15 variants (5 symmetric + 5 low-side + 5
-    high-side) are evaluated at once — the best NFA wins, accepted iff it
-    clears the a-contrario threshold.  The rescued candidate keeps its
-    axis/endpoints (the reference's width moves don't move the rect ends
-    either).
+    For every integer pixel inside the rectangle {c + l*d + w*perp :
+    l in [l0, l1], |w - wc| <= width/2} the total count increments, and
+    the aligned count increments when the pixel's level-line angle is
+    within prec of theta (pi-wrapped exactly as isAligned,
+    lsd_opencv.cpp:1236-1252).  Vectorized over ALL rectangles at once:
+    flat enumeration of the per-rect bounding boxes (chunked to bound
+    peak memory), point-in-rect test in the axis frame, bincount
+    reduction.  DIVERGENCE (deliberate, PARITY.md): the reference
+    rasterizes the quad with a scanline walk whose second-edge step
+    selection compares an x against a y (lsd_opencv.cpp:1156-1161, an
+    upstream OpenCV bug) — the clean point-in-rect test counts the
+    geometrically correct pixel set instead.
+    """
+    C = len(theta)
+    H, W = angle.shape
+    total = np.zeros(C, np.int64)
+    aligned = np.zeros(C, np.int64)
+    if C == 0:
+        return total, aligned
+    hw = width / 2.0
+    ls = np.stack([l0, l0, l1, l1], axis=1)
+    ws = np.stack([wc - hw, wc + hw, wc - hw, wc + hw], axis=1)
+    cxs = cx[:, None] + ls * dxv[:, None] - ws * dyv[:, None]
+    cys = cy[:, None] + ls * dyv[:, None] + ws * dxv[:, None]
+    x0 = np.clip(np.floor(cxs.min(1)).astype(np.int64), 0, W - 1)
+    x1 = np.clip(np.ceil(cxs.max(1)).astype(np.int64), 0, W - 1)
+    y0 = np.clip(np.floor(cys.min(1)).astype(np.int64), 0, H - 1)
+    y1 = np.clip(np.ceil(cys.max(1)).astype(np.int64), 0, H - 1)
+    nx = np.maximum(x1 - x0 + 1, 0)
+    ny = np.maximum(y1 - y0 + 1, 0)
+    areas = nx * ny
+    ang_flat = angle.reshape(-1)
+    def_flat = defined.reshape(-1)
+    cum = np.cumsum(areas)
+    start = 0
+    while start < C:
+        base = cum[start - 1] if start else 0
+        stop = min(max(int(np.searchsorted(cum, base + chunk_px)) + 1,
+                       start + 1), C)
+        sl = slice(start, stop)
+        a_sl = areas[sl]
+        tot_px = int(a_sl.sum())
+        if tot_px == 0:
+            start = stop
+            continue
+        cid = np.repeat(np.arange(start, stop), a_sl)
+        offs = np.concatenate([[0], np.cumsum(a_sl)[:-1]])
+        local = np.arange(tot_px) - np.repeat(offs, a_sl)
+        px = x0[cid] + local % np.maximum(nx[cid], 1)
+        py = y0[cid] + local // np.maximum(nx[cid], 1)
+        rx = px - cx[cid]
+        ry = py - cy[cid]
+        l = rx * dxv[cid] + ry * dyv[cid]
+        w = -rx * dyv[cid] + ry * dxv[cid]
+        inside = (l >= l0[cid]) & (l <= l1[cid]) & \
+                 (np.abs(w - wc[cid]) <= hw[cid])
+        adx = py * W + px
+        a = ang_flat[adx]
+        d = np.abs(theta[cid] - a)
+        d = np.where(d > 1.5 * np.pi, np.abs(d - 2.0 * np.pi), d)
+        ok = inside & def_flat[adx] & (d <= prec[cid])
+        total[sl] += np.bincount(cid[inside] - start,
+                                 minlength=stop - start)
+        aligned[sl] += np.bincount(cid[ok] - start, minlength=stop - start)
+        start = stop
+    return total, aligned
 
-    Returns (ids, log_nfa) of rescued candidates."""
-    wd_min = fit["wd_min"]
-    width = fit["width"]
-    cand = fail_ids[width[fail_ids] > 1.5]      # need room to shrink
-    z = np.zeros(0)
-    if not len(cand):
-        return cand, z
 
-    n_lab = len(width)
-    lut = np.full(n_lab, -1, np.int32)
-    lut[cand] = np.arange(len(cand), dtype=np.int32)
-    lab = labels_flat
-    sel = np.nonzero((lab >= 0) & (lab < n_lab) & (lut[np.maximum(lab, 0)]
-                                                   >= 0))[0]
-    if not len(sel):
-        return cand[:0], z
-    idx = lut[lab[sel]]
-    W = fit["_img_w"]
-    ys = (sel // W).astype(np.float64)
-    xs = (sel % W).astype(np.float64)
-    c = cand[idx]
-    # perpendicular offset from the axis, relative to the low edge (the
-    # same wd convention as _region_extents: wd = -rx*dy + ry*dx)
-    t = (-(xs - fit["cx"][c]) * fit["dy"][c] +
-         (ys - fit["cy"][c]) * fit["dx"][c]) - wd_min[c]
-    NBINS = 128                                  # 0.25 px bins, 32 px cap
-    bins = np.clip((t / 0.25).astype(np.int64), 0, NBINS - 1)
-    hist = np.zeros((len(cand), NBINS), np.int64)
-    np.add.at(hist, (idx, bins), 1)
-    cum = np.cumsum(hist, axis=1)
-    total = cum[:, -1]
+def _rect_improve_nfa(fit, ids, angle, defined, p0, log_nt):
+    """NFA decision with the reference's full rect_improve ladder
+    (lsd_opencv.cpp:983-1073) on re-rasterized rect_nfa counts: base
+    rectangle first, then — only for candidates still failing — five
+    precision halvings (p /= 2, prec = p*pi), five symmetric width
+    reductions (0.5 px), five reductions of each single side (midline
+    shifted 0.25 px), and five more precision halvings; each stage
+    starts from the best rectangle so far, improvements are kept
+    greedily, and a candidate leaves the ladder as soon as its best
+    log NFA clears LOG_EPS.  All stages run batched over the surviving
+    candidate set (_rect_counts).
 
-    def k_of(lo_bins, hi_bins):
-        """aligned pixels with lo_bins*0.25 <= t <= width - hi_bins*0.25"""
-        lo = cum[:, lo_bins - 1] if lo_bins > 0 else 0
-        wb = np.clip((width[cand] / 0.25).astype(np.int64) - hi_bins, 1,
-                     NBINS) - 1
-        hi = total - cum[np.arange(len(cand)), wb]
-        return np.maximum(total - lo - hi, 0)
+    Returns (log_nfa [len(ids)], wc [len(ids)]) — the best NFA and the
+    winning rectangle's perpendicular midline shift (nonzero only when a
+    one-side reduction won; the emitted endpoints move with it, exactly
+    as the reference's r.x1 += -dy*delta_2 updates do)."""
+    C = len(ids)
+    if C == 0:
+        return np.zeros(0), np.zeros(0)
+    f64 = np.float64
+    cx = np.asarray(fit["cx"], f64)[ids]
+    cy = np.asarray(fit["cy"], f64)[ids]
+    dxv = np.asarray(fit["dx"], f64)[ids]
+    dyv = np.asarray(fit["dy"], f64)[ids]
+    theta = np.arctan2(dyv, dxv)
+    l0 = np.asarray(fit["l_min"], f64)[ids]
+    l1 = np.asarray(fit["l_max"], f64)[ids]
+    width_b = np.maximum(np.asarray(fit["width"], f64)[ids], 1.0)
+    wc_b = np.zeros(C, f64)
+    p_b = np.full(C, p0, f64)
 
-    best_nfa = np.full(len(cand), -np.inf)
-    length_c = np.ceil(fit["length"][cand])
-    variants = [(j, j) for j in range(1, 6)] + \
-               [(2 * j, 0) for j in range(1, 6)] + \
-               [(0, 2 * j) for j in range(1, 6)]
-    for lo_b, hi_b in variants:
-        w_new = np.maximum(width[cand] - 0.25 * (lo_b + hi_b), 1.0)
-        nfa = _nfa_log10(length_c * np.ceil(w_new),
-                         k_of(lo_b, hi_b), p, log_nt)
-        best_nfa = np.maximum(best_nfa, nfa)
-    ok = best_nfa > LOG_EPS
-    return cand[ok], best_nfa[ok]
+    def counts_nfa(mask, wc, widthv, pv):
+        idx = np.nonzero(mask)[0]
+        out = np.full(C, -np.inf)
+        if len(idx) == 0:
+            return out
+        n, k = _rect_counts(angle, defined, theta[idx], np.pi * pv[idx],
+                            cx[idx], cy[idx], dxv[idx], dyv[idx],
+                            l0[idx], l1[idx], wc[idx], widthv[idx])
+        out[idx] = _nfa_log10(n.astype(f64), k.astype(f64), pv[idx],
+                              log_nt)
+        return out
+
+    nfa_b = counts_nfa(np.ones(C, bool), wc_b, width_b, p_b)
+    done = nfa_b > LOG_EPS
+
+    # stage 1: finer precision (lsd_opencv.cpp:994-1006)
+    r_p = p_b.copy()
+    act0 = ~done
+    for _ in range(5):
+        if not act0.any():
+            break
+        r_p = np.where(act0, r_p / 2.0, r_p)
+        nfa_new = counts_nfa(act0, wc_b, width_b, r_p)
+        better = act0 & (nfa_new > nfa_b)
+        nfa_b = np.where(better, nfa_new, nfa_b)
+        p_b = np.where(better, r_p, p_b)
+    done |= nfa_b > LOG_EPS
+
+    # stage 2: symmetric width reduction (lsd_opencv.cpp:1009-1024)
+    act0 = ~done
+    r_w = width_b.copy()
+    for _ in range(5):
+        act = act0 & (r_w - 0.5 >= 0.5)
+        if not act.any():
+            break
+        r_w = np.where(act, r_w - 0.5, r_w)
+        nfa_new = counts_nfa(act, wc_b, r_w, p_b)
+        better = act & (nfa_new > nfa_b)
+        nfa_b = np.where(better, nfa_new, nfa_b)
+        width_b = np.where(better, r_w, width_b)
+    done |= nfa_b > LOG_EPS
+
+    # stages 3+4: reduce one side, then the other
+    # (lsd_opencv.cpp:1027-1070) — midline shifts delta/2 per step
+    for sign in (1.0, -1.0):
+        act0 = ~done
+        r_w = width_b.copy()
+        r_wc = wc_b.copy()
+        for _ in range(5):
+            act = act0 & (r_w - 0.5 >= 0.5)
+            if not act.any():
+                break
+            r_wc = np.where(act, r_wc + sign * 0.25, r_wc)
+            r_w = np.where(act, r_w - 0.5, r_w)
+            nfa_new = counts_nfa(act, r_wc, r_w, p_b)
+            better = act & (nfa_new > nfa_b)
+            nfa_b = np.where(better, nfa_new, nfa_b)
+            width_b = np.where(better, r_w, width_b)
+            wc_b = np.where(better, r_wc, wc_b)
+        done |= nfa_b > LOG_EPS
+
+    # stage 5: finer precision again, width-guarded (lsd_opencv.cpp:1073+)
+    act0 = ~done & (width_b - 0.5 >= 0.5)
+    r_p = p_b.copy()
+    for _ in range(5):
+        if not act0.any():
+            break
+        r_p = np.where(act0, r_p / 2.0, r_p)
+        nfa_new = counts_nfa(act0, wc_b, width_b, r_p)
+        better = act0 & (nfa_new > nfa_b)
+        nfa_b = np.where(better, nfa_new, nfa_b)
+        p_b = np.where(better, r_p, p_b)
+    return nfa_b, wc_b
 
 
-def _emit_candidates(cands, p, log_nt):
+def _emit_candidates(cands, p, log_nt, angle=None, defined=None):
     """Shared NFA filter + endpoint emission over (fit, ids[, labels])
-    entries; entries carrying flat labels get the width-reduction rescue
-    of NFA failures (_width_rescue)."""
+    entries.  With an angle map, the NFA is the reference's rect_improve
+    ladder on re-rasterized rect_nfa counts (_rect_improve_nfa) and the
+    emitted endpoints carry the winning rectangle's midline shift;
+    without one (unit-test fits), the region-count approximation is
+    used."""
     out = []
     for entry in cands:
         fit, ids = entry[0], entry[1]
-        labels_flat = entry[2] if len(entry) > 2 else None
         if len(ids) == 0:
             continue
-        n_pix = np.ceil(fit["length"][ids]) * np.ceil(fit["width"][ids])
-        log_nfa = _nfa_log10(n_pix, fit["count"][ids], p, log_nt)
-        keep = log_nfa > LOG_EPS
-        if labels_flat is not None and "_img_w" in fit and not keep.all():
-            r_ids, r_nfa = _width_rescue(fit, ids[~keep], labels_flat,
-                                         p, log_nt)
-            ids = np.concatenate([ids[keep], r_ids])
-            log_nfa = np.concatenate([log_nfa[keep], r_nfa])
-        else:
+        if angle is not None:
+            log_nfa, wshift = _rect_improve_nfa(fit, ids, angle, defined,
+                                                p, log_nt)
+            keep = log_nfa > LOG_EPS
             ids = ids[keep]
             log_nfa = log_nfa[keep]
-        x1 = fit["cx"][ids] + fit["l_min"][ids] * fit["dx"][ids] + 0.5
-        y1 = fit["cy"][ids] + fit["l_min"][ids] * fit["dy"][ids] + 0.5
-        x2 = fit["cx"][ids] + fit["l_max"][ids] * fit["dx"][ids] + 0.5
-        y2 = fit["cy"][ids] + fit["l_max"][ids] * fit["dy"][ids] + 0.5
+            ws = wshift[keep]
+        else:
+            n_pix = np.ceil(fit["length"][ids]) * np.ceil(fit["width"][ids])
+            log_nfa = _nfa_log10(n_pix, fit["count"][ids], p, log_nt)
+            keep = log_nfa > LOG_EPS
+            ids = ids[keep]
+            log_nfa = log_nfa[keep]
+            ws = np.zeros(len(ids))
+        sx = -fit["dy"][ids] * ws          # perp midline shift (stage 3/4)
+        sy = fit["dx"][ids] * ws
+        x1 = fit["cx"][ids] + fit["l_min"][ids] * fit["dx"][ids] + sx + 0.5
+        y1 = fit["cy"][ids] + fit["l_min"][ids] * fit["dy"][ids] + sy + 0.5
+        x2 = fit["cx"][ids] + fit["l_max"][ids] * fit["dx"][ids] + sx + 0.5
+        y2 = fit["cy"][ids] + fit["l_max"][ids] * fit["dy"][ids] + sy + 0.5
         inv = 1.0 / SCALE
         out.append(np.stack([x1 * inv, y1 * inv, x2 * inv, y2 * inv,
                              log_nfa], axis=1).astype(np.float32))
@@ -455,7 +575,8 @@ def _detect_native(lib, norm, angle, defined, prec, p, log_nt,
                               min_reg_size)
         if fit_c is not None:
             cands.append((fit_c, np.arange(len(fit_c["count"]))))
-        return _emit_candidates(cands, p, log_nt)
+        return _emit_candidates(cands, p, log_nt, angle=angle,
+                                defined=defined)
 
     cur_fail = fail
     cur_labels = labels
@@ -487,7 +608,8 @@ def _detect_native(lib, norm, angle, defined, prec, p, log_nt,
                                np.nonzero(cur_fail)[0], cur_fit, prec)
         if fit_r is not None:
             cands.append((fit_r, np.arange(len(fit_r["count"]))))
-    return _emit_candidates(cands, p, log_nt)
+    return _emit_candidates(cands, p, log_nt, angle=angle,
+                            defined=defined)
 
 
 def _carve_native(lib, norm, angle, labels, fail, prec, min_reg_size):
@@ -620,6 +742,8 @@ def _nfa_log10(n: np.ndarray, k: np.ndarray, p: float,
     n = np.asarray(n, np.float64)
     k = np.asarray(k, np.float64)
     k = np.minimum(k, n)
+    p = np.asarray(p, np.float64)
+    p_col = p[:, None] if p.ndim else p       # broadcast over the series
 
     kk = np.maximum(k, 1.0)
     nn = np.maximum(n, kk)
@@ -634,7 +758,8 @@ def _nfa_log10(n: np.ndarray, k: np.ndarray, p: float,
     i = np.minimum(i, nn[:, None])
     logC = (gammaln(nn[:, None] + 1) - gammaln(i + 1) -
             gammaln(nn[:, None] - i + 1))
-    logterm = logC + i * np.log(p) + (nn[:, None] - i) * np.log1p(-p)
+    logterm = logC + i * np.log(p_col) + \
+        (nn[:, None] - i) * np.log1p(-p_col)
     logterm = np.where(valid, logterm, -np.inf)
     m = logterm.max(axis=1)
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -835,4 +960,5 @@ def _detect_impl(image_gray: np.ndarray) -> np.ndarray:
         if fit_r is not None:
             cands.append((fit_r, np.arange(len(fit_r["count"]))))
 
-    return _emit_candidates(cands, p, log_nt)
+    return _emit_candidates(cands, p, log_nt, angle=np.asarray(angle),
+                            defined=np.asarray(defined))

@@ -113,59 +113,59 @@ def test_detect_real_photograph_vs_opencv_lsd():
         assert r_rev >= floor, f"L>{L}: reverse recall {r_rev}"
 
 
-def test_width_rescue_recovers_thin_line_in_wide_region():
-    """_width_rescue (rect_improve's width-reduction variants,
-    lsd_opencv.cpp:1010-1070): a dense 100x2 px line whose region was
-    inflated to ~10 px width by sparse stray pixels fails the full-width
-    NFA but must pass after the width search; a uniformly sparse region
-    must NOT be rescued."""
+def test_rect_improve_rescues_thin_line_in_wide_region():
+    """_rect_improve_nfa (rect_improve on re-rasterized rect_nfa counts,
+    lsd_opencv.cpp:983-1196): a dense 100x1 px aligned core whose
+    rectangle was inflated to ~5 px width by angle-scattered stray pixels
+    fails the full-width NFA but must pass after the width-reduction
+    stages; a uniformly sparse region must NOT be rescued (its aligned
+    count also decays under the precision-halving stages)."""
     import math
     from line3d_tpu.detect import vectorized_lsd as vl
 
     W = 256
     p = 22.5 / 180.0
+    prec = math.pi * p
     log_nt = 5.0 * (math.log10(W) + math.log10(W)) / 2.0 + math.log10(11.0)
 
-    def build(xs, ys, lab_id=0):
-        labels = np.full(W * W, -1, np.int64)
-        labels[ys * W + xs] = lab_id
-        # axis along +x through cy: wd = y - cy; width/wd_min use the same
-        # extent convention as _region_extents (wd_max - wd_min)
+    def build(xs, ys, angs):
+        angle = np.zeros((W, W), np.float32)
+        defined = np.zeros((W, W), bool)
+        angle[ys, xs] = angs
+        defined[ys, xs] = True
+        cy = float(ys.mean())
         fit = dict(
-            cx=np.array([100.0]), cy=np.array([float(ys.mean())]),
+            cx=np.array([100.0]), cy=np.array([cy]),
             dx=np.array([1.0], np.float32), dy=np.array([0.0], np.float32),
             l_min=np.array([-50.0]), l_max=np.array([50.0]),
             length=np.array([100.0]),
             width=np.array([float(ys.max() - ys.min())]),
-            wd_min=np.array([float(ys.min() - ys.mean())]),
-            count=np.array([float(len(xs))]),
-            _img_w=W)
-        return fit, labels
+            wd_min=np.array([float(ys.min() - cy)]),
+            count=np.array([float(len(xs))]))
+        return fit, angle, defined
 
-    # dense 100x1 core at row 100 + 20 strays confined to rows 98/99/
-    # 102/103 (width 5): full-width NFA(500, 120) fails, but the
-    # symmetric 2.5 px shrink keeps only the core rows — NFA(300, 100)
-    # passes overwhelmingly (the reference's width loop covers the same
-    # 2.5 px range, lsd_opencv.cpp:1010-1030)
     rng = np.random.default_rng(0)
+    # dense core at row 100, angles spread across the FULL base tolerance
+    # (so precision halvings alone cannot rescue it — they halve k along
+    # with p) + 20 strays on rows 98/99/102/103
     xs = np.concatenate([np.arange(50, 150), rng.integers(50, 150, 20)])
     ys = np.concatenate([np.full(100, 100),
                          rng.choice([98, 99, 102, 103], 20)])
-    fit, labels = build(xs, ys)
-    full_nfa = vl._nfa_log10(
-        np.ceil(fit["length"]) * np.ceil(fit["width"]), fit["count"],
-        p, log_nt)
-    assert full_nfa[0] <= vl.LOG_EPS, full_nfa     # genuinely failing
-    ids, nfa = vl._width_rescue(fit, np.array([0]), labels, p, log_nt)
-    assert len(ids) == 1 and nfa[0] > vl.LOG_EPS, (ids, nfa)
+    angs = np.concatenate([rng.uniform(-prec, prec, 100),
+                           rng.uniform(0.1, prec, 20)])
+    fit, angle, defined = build(xs, ys, angs)
+    nfa, wc = vl._rect_improve_nfa(fit, np.array([0]), angle, defined,
+                                   p, log_nt)
+    assert nfa[0] > vl.LOG_EPS, nfa
 
-    # uniformly sparse region (no dense core): must stay rejected at
-    # every width variant
+    # uniformly sparse region (no dense core): rejected at every stage
     xs_u = rng.integers(50, 150, 70)
     ys_u = rng.integers(98, 104, 70)
-    fit_u, labels_u = build(xs_u, ys_u)
-    ids_u, _ = vl._width_rescue(fit_u, np.array([0]), labels_u, p, log_nt)
-    assert len(ids_u) == 0
+    angs_u = rng.uniform(0.1, prec, 70)
+    fit_u, angle_u, defined_u = build(xs_u, ys_u, angs_u)
+    nfa_u, _ = vl._rect_improve_nfa(fit_u, np.array([0]), angle_u,
+                                    defined_u, p, log_nt)
+    assert nfa_u[0] <= vl.LOG_EPS, nfa_u
 
 
 def test_detect_recall_on_drawn_segments():
