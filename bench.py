@@ -39,7 +39,22 @@ Supporting rows:
     straightforward formulation — the kernels' actual op mix is heavy in
     compares/selects (the pair kernel's squared-distance gate replaces
     ~10 sqrts + 8 divides per pair with compare/select trees; a hand
-    count puts its REAL vector-op rate near the twin's flop rate), and
+    count puts its REAL vector-op rate near the twin's flop rate).
+    Scoring-kernel op-mix audit (r05, coefficient-column kernel): the
+    per-element plane-op count is ~104 vector ops — projections/depths
+    2 FMA + ok-gates 5, point-to-line numerators 6 (+2 divides),
+    endpoint planes 4 FMA, homogeneous cross product 6, normalizer 4
+    (incl rsqrt), point-to-projected-line 10, distance max + exponent 5,
+    angle term 16 (7-FMA acos polynomial, squared form), depth gates 8,
+    pair mask 8, per-camera max reduction 2N = 20 (untiled; the tiled
+    kernel predicates to the tile's ~2-3 present cameras), plus ~7
+    op-equivalents of transpose/coefficient-row amortization — of which
+    the twin's cost model credits 51.51 as "useful math".  At the
+    measured 10.3 ms kernel-only (M = 256, S = 3072) that is ~2.3e12
+    vector ops/s ~ 60% of the 3.85e12 ops/s VPU issue rate, i.e. the
+    kernel is near issue-bound with a lean-as-known op mix; the
+    headline roofline_pct (~13%) understates it by the 104/51.51 op
+    ratio.  And
     (b) a pure chained-FMA Pallas kernel that streams its block through
     VMEM measures only ``vpu_streaming_fma_peak_flops_per_sec``
     (~1.8 Tflop/s, emitted for audit) on this chip — the pair kernel
@@ -419,9 +434,13 @@ def _measure_vpu_peak():
     return dflops / max(times[R_HI] - times[R_LO], 1e-9)
 
 
-def _run_e2e_scene(cfg, scene, dcams, views, trials=3):
+def _run_e2e_scene(cfg, scene, dcams, views, trials=4):
     """Cold + `trials` perturbed warm runs of the full pipeline on a
-    prebuilt scene; returns (best_ips, best_s, lines, stats_of_best)."""
+    prebuilt scene; returns (best_ips, best_s, lines, stats_of_best).
+    Best-of-4 with the per-trial seconds recorded in
+    stats["trial_seconds"] on EVERY row (VERDICT r04 weak #4): tunnel/VM
+    health spikes individual trials 2-3x, so single-trial rows are not
+    comparable run-to-run and the artifact must carry the spread."""
     import contextlib
     from line3d_tpu import Line3D
 
@@ -442,10 +461,14 @@ def _run_e2e_scene(cfg, scene, dcams, views, trials=3):
 
     run_once(0.0, warm=True)              # cold: compile + remote load
     best, lines, stats = np.inf, 0, {}
+    trial_s = []
     for trial in range(trials):
         dt, nlines, st = run_once(1e-3 * (trial + 1), warm=False)
+        trial_s.append(round(dt, 3))
         if dt < best:
             best, lines, stats = dt, nlines, st
+    stats = dict(stats)
+    stats["trial_seconds"] = trial_s
     return views / best, best, lines, stats
 
 
@@ -465,7 +488,7 @@ def _bench_e2e_p25():
     scene, dcams = make_demo_scene(num_views=E2E_VIEWS,
                                    num_random_segments=E2E_SEGMENTS,
                                    config=cfg_exact)
-    ex = _run_e2e_scene(cfg_exact, scene, dcams, E2E_VIEWS, trials=2)
+    ex = _run_e2e_scene(cfg_exact, scene, dcams, E2E_VIEWS)
 
     cfg_capped = L3DConfig(stable_shapes=True, uncapped_fallback=False)
     cap = _run_e2e_scene(cfg_capped, scene, dcams, E2E_VIEWS)
@@ -480,10 +503,10 @@ def _bench_e2e_exact_facade():
 
     cfg = L3DConfig(stable_shapes=True)
     scene, dcams = make_facade_scene(num_views=E2E_VIEWS, config=cfg)
-    # best-of-4 on the headline row: tunnel/VM health spikes individual
-    # trials 2-3x (measured 2.8 / 3.5 / 6.4 s in one sequence), and the
-    # headline must not be hostage to one bad window
-    return _run_e2e_scene(cfg, scene, dcams, E2E_VIEWS, trials=4)
+    # best-of-4 (all e2e rows): tunnel/VM health spikes individual trials
+    # 2-3x (measured 2.8 / 3.5 / 6.4 s in one sequence); the per-trial
+    # seconds ride in the JSON so the spread is auditable
+    return _run_e2e_scene(cfg, scene, dcams, E2E_VIEWS)
 
 
 def _exactness(stats):
@@ -565,6 +588,7 @@ def main():
         # reference publishes none — BASELINE.md / bench.py docstring)
         "vs_baseline": fa_ips / NOMINAL_BASELINE_E2E_IPS,
         "e2e_exact_warm_seconds": fa_s,
+        "e2e_exact_trial_seconds": fa_stats.get("trial_seconds"),
         "e2e_exact_num_lines": fa_lines,
         "e2e_exact_views_rematched": fa_rematched,
         "e2e_exact_residual_overflow": fa_residual,
@@ -577,6 +601,7 @@ def main():
         # ceiling with result-changing drops (counted)
         "e2e_exact_stress_images_per_sec_p25": ex_ips,
         "e2e_exact_stress_warm_seconds_p25": ex_s,
+        "e2e_exact_stress_trial_seconds": ex_stats.get("trial_seconds"),
         "e2e_exact_stress_num_lines": ex_lines,
         "e2e_exact_stress_views_rematched": ex_rematched,
         "e2e_exact_stress_residual_overflow": ex_residual,
@@ -584,6 +609,7 @@ def main():
             int(ex_stats.get("probe_m_total", 0)),
         "e2e_capped_images_per_sec_p25": cap_ips,
         "e2e_capped_warm_seconds_p25": cap_s,
+        "e2e_capped_trial_seconds": cap_stats.get("trial_seconds"),
         "e2e_capped_num_lines_p25": cap_lines,
         "e2e_capped_overflow_p25": int(cap_stats.get("match_overflow", 0)),
         "e2e_stress_shape": f"{E2E_VIEWS}x{E2E_SEGMENTS}",

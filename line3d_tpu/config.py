@@ -102,6 +102,11 @@ class L3DConfig:
     min_affinity: float = 0.25           # L3D_MIN_AFFINITY (direct edges)
     collinear_affinity: float = 0.01     # collinear edge threshold (line3D.cc:1087,1165)
     fh_c: float = 1.0                    # F-H constant c (line3D.cc:1245)
+    # "exact" = the reference's serial merge order (native union-find);
+    # "parallel" = mutual-minimal round-parallel scale mode (shardable
+    # data-parallel rounds; agreement at production density ARI ~0.999,
+    # 98.5% identical clusters — cluster/fh.py, PARITY.md)
+    fh_backend: str = "exact"
     min_cameras_per_cluster: int = 4     # line3D.cc:1334
     min_cameras_open: int = 3            # sweep threshold (line3D.cc:1585-1591)
 

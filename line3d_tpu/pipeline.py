@@ -555,8 +555,10 @@ class Line3D:
         t2b = time.time()
         ba_info = {}
         if graph.num_nodes:
-            labels = fh.fh_cluster(graph.edges_i, graph.edges_j,
-                                   graph.edges_w, graph.num_nodes, cfg.fh_c)
+            fh_fn = fh.fh_cluster_parallel \
+                if cfg.fh_backend == "parallel" else fh.fh_cluster
+            labels = fh_fn(graph.edges_i, graph.edges_j,
+                           graph.edges_w, graph.num_nodes, cfg.fh_c)
             t2c = time.time()
             # device refine shards its cluster axis over the views mesh
             # (independent per-cluster Gauss-Newton, zero collectives);
