@@ -779,9 +779,13 @@ def decide_exact_capacities(need, total, blockmax, nbmax,
     view (the default executable — typically pre-compiled by
     warmup_async — is reused), else a dict of overrides bucketed for
     executable reuse: m_total to the next power of two, the block quota to
-    {default, 32, 128} (coarse buckets: every new (quota, m_total,
+    {default, 32, 64, 128} (coarse buckets: every new (quota, m_total,
     k_export) combination is a fresh 40-160 s first-execution remote
-    compile through the TPU tunnel), k_export to the next power of two
+    compile through the TPU tunnel; the 64 bucket was added after the
+    r05 sweep measured the 32->128 jump costing up to 2x/view — the
+    compaction width B*quota drives the cross-neighbor merge sort;
+    scripts/quota_bucket_bench.py, table in PARITY.md), k_export to the
+    next power of two
     of the strict gate-passing bound (verified ⊆ gate-passing, so the
     packed export can never drop and the fallback guard never fires), and
     the per-neighbor second-compaction width to pow2(nbmax) when that
@@ -815,7 +819,7 @@ def decide_exact_capacities(need, total, blockmax, nbmax,
     m_total = 1 << max(int(np.ceil(np.log2(max(need_max, 1)))), 0)
     m_total = min(max(m_total, m0), n_max * S)
     quota = 128
-    for q in (quota0, 32, 128):
+    for q in (quota0, 32, 64, 128):
         if eff_quota(q, m_total) >= bmax:
             quota = q
             break
