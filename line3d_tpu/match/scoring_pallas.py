@@ -326,34 +326,43 @@ def _kernel_tiled(need_ref, camlo_ref, camhi_ref, params_ref, pm_m_ref,
     out_ref[0, 0:1, :] = jnp.where(valid_row > 0.5, total, f32(0))
 
 
-def _m2_tile_for(M: int) -> int:
-    """Base match-axis tile for M > 256: the largest divisor of M up to
-    256.  M <= 256 runs untiled.  Larger tiles measured strictly faster at
-    every facade-like occupancy (tile 128 is 1.3-1.6x SLOWER than 256 at
-    M=1024 — the per-tile overhead dominates the ceil(need/tile)^2
-    quantization waste; scripts/scoring_tile_bench.py)."""
-    if M <= 256:
-        return M
-    for d in (256, 128, 64, 32, 16, 8):
-        if M % d == 0:
-            return d
-    return 8
+def _div_up_to(M: int, cap: int) -> int:
+    """Largest power-of-two divisor of M not exceeding cap (M is padded
+    to a multiple of 128 upstream)."""
+    d = cap
+    while d > 8 and M % d:
+        d //= 2
+    return d
 
 
 def _tiles_for(M: int) -> tuple:
     """(m_tile, m2_tile) for the tiled kernel: the scored-match (lane) and
-    supporting-match (sublane) tile sizes.  Asymmetric shapes are legal —
-    VMEM holds ~15 [m2_tile, m_tile] f32 planes — and were swept on real
-    hardware (scripts/scoring_tile_bench.py, M=1024, S=3072): 512x256 is
-    11% faster when occupancies straddle one 256 boundary (uniform
-    200-500) but 17% SLOWER at need=700 (ceil(700/512)*512 = 1024 vs 768
-    lanes of work), and 1024x256 loses everywhere.  The tradeoff is
-    occupancy-distribution-dependent with modest swing either way, while
-    real scenes are heavy at LOW need (where 512-wide lane tiles strictly
-    double the work of the majority rows) — so the symmetric 256 default
-    stays."""
-    t = _m2_tile_for(M)
-    return t, t
+    supporting-match (sublane) tile sizes.  M <= 256 runs untiled.
+
+    Swept on real hardware for the r05 dynamic-inner-loop kernel
+    (scripts/scoring_tile_bench.py at M=1024 synthetic occupancies,
+    scripts/scoring_tile_sweep_m2048.py at the real stress occupancy,
+    ms/iter):
+
+      M=1024 mix200_500: 512x256 41.6 / 512x512 41.2 / 512x128 42.0 /
+                         256x256 54.3 / 1024x256 67.6
+      M=1024 const700:   1024x256 108 / 512x256 124.8 / 256x256 130.4 /
+                         512x128 143.2
+      M=2048 stress p50~870: 512x128 178.2 / 512x256 181.4 /
+                         1024x128 191.9 / 256x256 208.1 / 128x128 346
+
+    With the m2 axis an in-kernel loop, the per-(row, m-tile) grid-step
+    cost dominates the overheads, so 512-wide LANE tiles now win across
+    every measured occupancy (they halve the grid) — the old
+    static-grid sweep that picked 256x256 no longer applies.  512x256
+    is within 2% of the per-distribution winner everywhere except the
+    adversarial constant-700 case (1024 lanes win there by quantization
+    luck) and is the default; the m2 tile stays 256 (128 loses up to
+    15% at uniform-high occupancy, bigger loses VMEM headroom).
+    """
+    if M <= 256:
+        return M, M
+    return _div_up_to(M, 512), _div_up_to(M, 256)
 
 
 @functools.partial(jax.jit, static_argnames=("support_threshold",

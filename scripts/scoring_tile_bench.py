@@ -87,7 +87,8 @@ DISTS = {
 }
 
 # (m_tile [lanes, scored axis], m2_tile [sublanes, supporting axis])
-COMBOS = [(256, 256), (512, 256), (256, 512), (512, 512), (1024, 256)]
+COMBOS = [(256, 256), (512, 256), (256, 512), (512, 512), (1024, 256),
+          (512, 128), (256, 128)]
 
 if __name__ == "__main__":
     for name, fn in DISTS.items():

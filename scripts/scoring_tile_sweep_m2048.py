@@ -21,7 +21,7 @@ from line3d_tpu.match import pairwise                 # noqa: E402
 from line3d_tpu.match import scoring_pallas as sp     # noqa: E402
 
 M_TOTAL, LOOP = 2048, 8
-COMBOS = [(256, 256), (256, 128), (128, 128), (512, 256), (256, 64),
+COMBOS = [(256, 256), (256, 128), (128, 128), (512, 256), (1024, 128),
           (512, 128)]
 
 

@@ -122,15 +122,17 @@ def test_pallas_scoring_matches_xla_interpret():
 def test_pallas_scoring_tiled_matches_xla_interpret():
     """The adaptively tiled scoring kernel (M > 256, the uncapped-exact
     capacities that exceed VMEM untiled) reproduces scoring.score_matches.
-    M=512 dispatches grid (S, 2, 2) with 256-wide tiles on both match axes
-    (scoring_pallas._m2_tile_for); tiles are always >= 128 (the Mosaic
-    lane-dim block constraint) since M must be a multiple of 128."""
+    M=512 dispatches 512-lane x 256-sublane tiles (scoring_pallas.
+    _tiles_for, swept on hardware — 512-lane tiles halve the grid and won
+    every measured occupancy with the dynamic-inner-loop kernel); tiles
+    are always >= 128 (the Mosaic lane-dim block constraint) since M must
+    be a multiple of 128."""
     from line3d_tpu.match import scoring, scoring_pallas
-    assert scoring_pallas._m2_tile_for(512) == 256
-    assert scoring_pallas._m2_tile_for(1024) == 256
-    assert scoring_pallas._m2_tile_for(2048) == 256
-    assert scoring_pallas._m2_tile_for(640) == 128
-    assert scoring_pallas._m2_tile_for(256) == 256
+    assert scoring_pallas._tiles_for(512) == (512, 256)
+    assert scoring_pallas._tiles_for(1024) == (512, 256)
+    assert scoring_pallas._tiles_for(2048) == (512, 256)
+    assert scoring_pallas._tiles_for(640) == (128, 128)
+    assert scoring_pallas._tiles_for(256) == (256, 256)
 
     S, M, N, St = 32, 512, 4, 600
     rng = np.random.default_rng(9)
