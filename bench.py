@@ -53,8 +53,8 @@ Supporting rows:
     measured 10.3 ms kernel-only (M = 256, S = 3072) that is ~2.3e12
     vector ops/s ~ 60% of the 3.85e12 ops/s VPU issue rate, i.e. the
     kernel is near issue-bound with a lean-as-known op mix; the
-    headline roofline_pct (~13%) understates it by the 104/51.51 op
-    ratio.  And
+    headline roofline_pct (10.7% in BENCH_r05, from 8.1%) understates
+    it by the 104/51.51 op ratio.  And
     (b) a pure chained-FMA Pallas kernel that streams its block through
     VMEM measures only ``vpu_streaming_fma_peak_flops_per_sec``
     (~1.8 Tflop/s, emitted for audit) on this chip — the pair kernel
