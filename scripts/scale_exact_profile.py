@@ -54,7 +54,8 @@ def main():
                 best = (dt, n, st)
         dt, n, st = best
         keys = [k for k in st if k.startswith("t_") or "probe" in k
-                or "overflow" in k or "rematched" in k]
+                or "overflow" in k or "rematched" in k
+                or "recollin" in k]
         print(f"V={V} warm best {dt:.2f}s of {trials} -> "
               f"{V / dt:.2f} img/s, {n} lines", flush=True)
         print(json.dumps({k: (round(v, 3) if isinstance(v, float) else v)

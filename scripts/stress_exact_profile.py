@@ -49,7 +49,8 @@ def main():
         dt, n, st = run_once(cfg, scene, dcams, 1e-3 * (trial + 1),
                              warm=False)
         keys = [k for k in st if k.startswith("t_") or "probe" in k
-                or "overflow" in k or "rematched" in k]
+                or "overflow" in k or "rematched" in k
+                or "recollin" in k]
         print(f"warm {trial}: {dt:.3f}s, {n} lines")
         print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
                           for k, v in st.items() if k in keys},
