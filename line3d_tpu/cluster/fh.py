@@ -146,12 +146,47 @@ def fh_cluster_parallel(edges_i: np.ndarray, edges_j: np.ndarray,
     return labels
 
 
+def _drop_reverse_duplicates(edges_i, edges_j, edges_w):
+    """Drop an edge whose IMMEDIATE PREDECESSOR in the stream is its
+    exact reverse with the same weight.
+
+    The affinity builder emits every undirected edge in both directions
+    consecutively (_emit_graph: positions 2k / 2k+1), and the STABLE
+    ascending weight sort keeps equal-weight edges in emission order —
+    so the two directions stay adjacent in the sorted scan.  The second
+    evaluation then sees exactly the state the first left behind: if the
+    first merged, find(a) == find(b) and the duplicate is skipped; if it
+    failed the threshold gate, the unchanged thresholds fail it again
+    (clustering.cc:24-36).  Dropping it is therefore EXACT — and halves
+    both the sort and the scan (t_fh was 14-21 s at the 1000-view scale,
+    ~60M directed edges).  Streams without the consecutive-reverse
+    structure (unit tests, external callers) are left untouched.
+    """
+    n = len(edges_w)
+    if n < 2:
+        return edges_i, edges_j, edges_w
+    dup = np.zeros(n, bool)
+    dup[1:] = ((edges_i[1:] == edges_j[:-1])
+               & (edges_j[1:] == edges_i[:-1])
+               & (edges_w[1:] == edges_w[:-1]))
+    # only a SECOND member of a pair may drop: a dropped edge must not
+    # itself justify dropping its successor unless that successor is a
+    # further exact duplicate (A_fwd, A_rev, A_fwd2, ... chains are
+    # no-ops throughout, so transitive drops are safe and kept)
+    if not dup.any():
+        return edges_i, edges_j, edges_w
+    keep = ~dup
+    return edges_i[keep], edges_j[keep], edges_w[keep]
+
+
 def fh_cluster(edges_i: np.ndarray, edges_j: np.ndarray,
                edges_w: np.ndarray, num_nodes: int,
                c: float = 1.0) -> np.ndarray:
     """Cluster labels via the native C++ extension if available."""
     lib = native_load.get_lib()
     if lib is not None and len(edges_w):
+        edges_i, edges_j, edges_w = _drop_reverse_duplicates(
+            edges_i, edges_j, edges_w)
         order = np.argsort(edges_w, kind="stable").astype(np.int64)
         labels = np.zeros(num_nodes, np.int64)
         lib.fh_cluster(

@@ -104,6 +104,34 @@ def _identical_cluster_fraction(exact, par):
     return ((cnt == se[ke]) & (cnt == sp[kp])).sum() / len(se)
 
 
+def test_fh_reverse_duplicate_drop_is_exact():
+    """fh_cluster drops the second direction of consecutively-emitted
+    symmetric edges before sorting (a provable no-op in the scan — see
+    _drop_reverse_duplicates); labels must be bit-identical to the
+    unfiltered native run on an _emit_graph-style interleaved stream."""
+    if native_load.get_lib() is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(9)
+    n, e_und = 500, 4000
+    a = rng.integers(0, n, e_und)
+    b = rng.integers(0, n, e_und)
+    k = a != b
+    a, b = a[k], b[k]
+    w = rng.uniform(0.05, 1.2, len(a))
+    # interleave both directions like affinity._emit_graph
+    ei = np.empty(2 * len(a), np.int64)
+    ej = np.empty(2 * len(a), np.int64)
+    ew = np.empty(2 * len(a), np.float64)
+    ei[0::2], ej[0::2], ew[0::2] = a, b, w
+    ei[1::2], ej[1::2], ew[1::2] = b, a, w
+    fi, fj, fw = fh._drop_reverse_duplicates(ei, ej, ew)
+    assert len(fw) == len(a)             # exactly halved
+    lab_filtered = fh.fh_cluster(ei, ej, ew, n, 0.3)
+    lab_python = fh.fh_cluster_python(ei, ej, ew, n, 0.3)  # unfiltered
+    assert np.array_equal(canon(lab_filtered), canon(lab_python))
+
+
 def test_fh_parallel_exact_on_separated_weights():
     """When every admissible merge is weight-separated from its
     neighborhood (two tight blobs joined by a heavy edge), the
